@@ -1,0 +1,92 @@
+"""textnorm parity (Python vs Spark) and mention generation invariants."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pelinker_spark import textnorm
+from pelinker_spark.mentions import generate_mentions, kb_blocking_keys
+from pelinker_spark.synth import gold_mentions, kb_table, web_pages
+
+
+def test_norm_token_rules():
+    assert textnorm.norm_token("Activates") == "activate"
+    assert textnorm.norm_token("class") == "class"  # ss kept
+    assert textnorm.norm_token("has") == "has"  # len<=3 kept
+    assert textnorm.norm_token("(binds),") == "bind"
+    assert textnorm.norm_token("--") == ""
+
+
+def test_norm_token_py_vs_spark(spark):
+    toks = [
+        "Activates", "class", "has", "(binds),", "--", "KINASES", "dogs",
+        "miss", "a1b2", "'s'", "IIes", "xs",
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"t": toks}))
+    got = [r[0] for r in sdf.select(textnorm.norm_token_col(F.col("t"))).collect()]
+    assert got == [textnorm.norm_token(t) for t in toks]
+
+
+def test_blocking_key_py_vs_spark(spark):
+    texts = [
+        "Strongly Activates receptors",
+        "the and of",  # all stopwords -> invalid
+        "binds",
+        "a -- b",  # empty-normalizing token -> invalid
+    ]
+    sdf = spark.createDataFrame(pd.DataFrame({"s": texts}))
+    normed = textnorm.norm_tokens_col(F.col("s"))
+    rows = sdf.select(
+        textnorm.window_is_valid_col(normed).alias("ok"),
+        textnorm.blocking_key_col(normed).alias("key"),
+    ).collect()
+    for text, row in zip(texts, rows):
+        expect = textnorm.blocking_key(textnorm.tokenize(text))
+        if expect is None:
+            assert not row["ok"]
+        else:
+            assert row["ok"] and row["key"] == expect
+
+
+def test_mention_spans_exact(spark):
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1"],
+                "text": ["The  kinase   Activates receptors. It binds DNA!"],
+                "lang": ["en"],
+            }
+        )
+    )
+    m = generate_mentions(pages).toPandas()
+    # normalized doc text is what spans index into
+    doc = "The kinase Activates receptors. It binds DNA!"
+    for _, r in m.iterrows():
+        assert doc[r.a_abs : r.b_abs] == r.mention
+    # window counts per sentence: len(W2)+1 == len(W1) (reference test_vrep)
+    s0 = m[(m.ichunk == 0)]
+    assert len(s0[s0.wg == 2]) + 1 >= len(s0[s0.wg == 1])  # some filtered by stopwords
+    # the planted trigram window exists with the right key
+    assert "kinase activate receptor" in set(m[m.wg == 3].key)
+
+
+def test_kb_keys_and_gold_alignment(spark):
+    n_pages, n_entities = 300, 40
+    pages = web_pages(spark, n_pages, seed=42, n_entities=n_entities, partitions=4)
+    kb = kb_table(spark, n_entities)
+    kbk = kb_blocking_keys(kb)
+    # KB keys unique after normalization (generator contract)
+    assert kbk.count() == kbk.select("key").distinct().count() == n_entities
+
+    mentions = generate_mentions(pages)
+    gold = gold_mentions(spark, n_pages, seed=42, n_entities=n_entities)
+    gold_en = gold.join(pages.where(F.col("lang") == "en").select("url"), "url")
+
+    # every planted (english) mention must be found as a candidate with the
+    # same blocking key
+    found = mentions.join(
+        gold_en, (mentions.url == gold_en.url) & (mentions.key == gold_en.gold_key), "right"
+    )
+    missing = found.where(mentions.key.isNull()).count()
+    assert missing == 0
