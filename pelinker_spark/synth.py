@@ -112,8 +112,12 @@ def kb_table(spark: SparkSession, n_entities: int = 50, seed: int = 13) -> DataF
 # --------------------------------------------------------------- page build
 
 def _vary_surface(label: str, h: int) -> str:
-    """Surface variation that textnorm maps back to the same blocking key."""
-    v = h % 4
+    """Surface variation. v∈{0..3}: textnorm maps back to the same blocking
+    key (case / plural). v∈{4,5}: an OCR-style hyphen typo inside the last
+    word — the blocking key CHANGES, so linking these back to the canonical
+    cluster requires the fuzzy channel (MinHash-LSH candidates + JW/cosine
+    scoring + transitive CC), not just exact key grouping."""
+    v = h % 6
     if v == 0:
         return label
     if v == 1:
@@ -124,7 +128,16 @@ def _vary_surface(label: str, h: int) -> str:
         if not last.endswith("s"):
             ws[-1] = last + "s"
         return " ".join(ws)
-    return label.upper()
+    if v == 3:
+        return label.upper()
+    # hyphen typo: "activate" -> "acti-vate" (deterministic split point)
+    ws = label.split(" ")
+    last = ws[-1]
+    if len(last) >= 6:
+        cut = 3 + (h >> 8) % (len(last) - 4)
+        ws[-1] = last[:cut] + "-" + last[cut:]
+        return " ".join(ws)
+    return label
 
 
 def page_record(seed: int, i: int, kb: list[dict]) -> dict:

@@ -1,0 +1,97 @@
+"""End-to-end link pipeline: F1 vs planted gold clusters, checkpoint resume."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pelinker_spark.blocking import lsh_candidate_pairs
+from pelinker_spark.cc import connected_components
+from pelinker_spark.pipeline import (
+    LinkConfig,
+    evaluate_against_gold,
+    link_pipeline,
+)
+from pelinker_spark.scoring import _jaro_winkler, cosine_col, encode_udf
+from pelinker_spark.synth import gold_mentions, kb_table, web_pages
+
+
+def test_jaro_winkler_values():
+    assert _jaro_winkler("abc", "abc") == 1.0
+    assert _jaro_winkler("", "abc") == 0.0
+    # canonical example
+    assert abs(_jaro_winkler("martha", "marhta") - 0.9611) < 1e-3
+    assert _jaro_winkler("acti-vate", "activate") > 0.94
+    assert _jaro_winkler("activate", "acetylate") < 0.94
+
+
+def test_cosine_self_and_typo(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["activate", "activate", "strongly activate"],
+                      "b": ["activate", "acti-vate", "strongly inhibit"]})
+    )
+    r = df.select(
+        cosine_col(encode_udf(F.col("a")), encode_udf(F.col("b"))).alias("c")
+    ).collect()
+    assert abs(r[0]["c"] - 1.0) < 1e-5
+    assert r[1]["c"] > 0.55  # typo variant stays similar
+    assert r[2]["c"] < 0.9  # different verb drops
+
+
+def test_connected_components_transitive(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": ["a", "b", "x"], "dst": ["b", "c", "y"]})
+    )
+    comp = connected_components(edges).toPandas().set_index("key")["component"]
+    assert comp["a"] == comp["b"] == comp["c"]
+    assert comp["x"] == comp["y"]
+    assert comp["a"] != comp["x"]
+
+
+def test_lsh_finds_typo_pairs(spark):
+    surfaces = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "wg": [1, 1, 1, 2, 2],
+                "key": ["activate", "acti-vate", "methylate",
+                        "strongly activate", "strongly activat-e"],
+                "n_mentions": [5, 1, 3, 2, 1],
+                "surface": ["activate", "acti-vate", "methylate",
+                            "strongly activate", "strongly activat-e"],
+            }
+        )
+    )
+    pairs = {
+        (r.key_a, r.key_b)
+        for r in lsh_candidate_pairs(surfaces, max_block=10).collect()
+    }
+    assert ("acti-vate", "activate") in pairs
+    assert ("strongly activat-e", "strongly activate") in pairs
+    # cross word-count pairs never generated
+    assert all(len(a.split()) == len(b.split()) for a, b in pairs)
+
+
+def test_end_to_end_f1(spark, tmp_path):
+    n_pages, n_entities = 600, 40
+    pages = web_pages(spark, n_pages, seed=42, n_entities=n_entities, partitions=8)
+    kb = kb_table(spark, n_entities)
+    gold = gold_mentions(spark, n_pages, seed=42, n_entities=n_entities)
+    gold = gold.join(pages.where(F.col("lang") == "en").select("url"), "url")
+
+    res = link_pipeline(spark, pages, kb=kb, checkpoint_dir=str(tmp_path / "ckpt"))
+    m = evaluate_against_gold(res.clusters, gold)
+    assert m["f1"] >= 0.99, m
+
+    # KB anchoring: clusters containing a KB label carry its entity_id
+    anchored = res.clusters.where(F.col("kb_entity_id").isNotNull()).count()
+    assert anchored > 0
+
+    # checkpoint resume: same config → stages read back, same result
+    res2 = link_pipeline(spark, pages, kb=kb, checkpoint_dir=str(tmp_path / "ckpt"))
+    assert res2.clusters.count() == res.clusters.count()
+    # metrics table has per-partition lineage rows for every stage
+    from pelinker_spark.checkpoint import CheckpointManager
+
+    ck = CheckpointManager(spark, str(tmp_path / "ckpt"), LinkConfig().as_dict())
+    stages = {r["stage"] for r in ck.metrics().select("stage").distinct().collect()}
+    assert {"extract", "mentions", "surfaces", "edges", "components", "clusters"} <= stages
