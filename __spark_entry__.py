@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship record-linkage run — documents corpus at sf0.001 →
+mention generation → surface blocking → LSH candidates → JW/cosine scored
+edges → hash-min connected components → cluster summary.
+
+queries()/oracle_sql(): operator suite from SURVEY.md §2 over the driver's
+testdata tables, each checked against a DuckDB oracle (see
+pelinker_spark/operators/relational.py for the determinism discipline).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline over the sf0.001 documents corpus;
+    returns one row per cluster with mass and representative surface."""
+    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("text"),
+            F.col("lang"),
+        )
+    )
+    res = link_pipeline(spark, docs, kb=None, cfg=LinkConfig(lang="en"))
+    return (
+        res.clusters.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("key").alias("n_surfaces"),
+            F.min("mention").alias("representative"),
+        )
+        .orderBy(F.desc("n_mentions"), "cluster_id")
+        .limit(100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pelinker_spark.operators.relational import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pelinker_spark.operators.relational import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline operator queries at $SPARK_GRAFT_SF_DIR
+(default sf0.1) plus the flagship record-linkage pipeline over a
+deterministic synthetic web-page table.
+
+Prints ONE JSON line:
+  {"metric": "total_bench_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "linked_docs_per_sec": N, "link_pages": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_LINK_PAGES = int(os.environ.get("SPARK_GRAFT_LINK_PAGES", "40000"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_topk",
+    "q04_topk_per_group",
+    "q05_modal_event_type",
+    "q09_interval_overlap",
+    "q12_embed_centroids",
+    "q15_deterministic_sample",
+    "q17_token_jaccard",
+    "q18_cosine_topk",
+    "q22_minhash_signatures",
+]
+
+
+def main() -> None:
+    from pelinker_spark.operators.relational import QUERIES
+    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+    from pelinker_spark.session import get_spark
+    from pelinker_spark.synth import web_pages
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the plan,
+    # not first-call initialization
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = QUERIES[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+
+    # flagship link pipeline on deterministic synthetic pages. The input is
+    # materialized to parquet first (production input is a table on disk);
+    # synth time is reported separately and excluded from link throughput.
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="pel_bench_")
+    try:
+        t0 = time.monotonic()
+        web_pages(
+            spark, N_LINK_PAGES, seed=42, n_entities=200, partitions=CPUS * 2
+        ).write.mode("overwrite").parquet(f"{tmp}/pages")
+        timings["synth_pages"] = round(time.monotonic() - t0, 3)
+
+        # steady-state warm-up: a small full-pipeline pass JIT-compiles the
+        # generated code and starts the Python UDF workers; reported
+        # separately, excluded from throughput
+        t0 = time.monotonic()
+        wp = web_pages(spark, 2000, seed=7, n_entities=50, partitions=8)
+        w = link_pipeline(spark, wp, cfg=LinkConfig())
+        w.clusters.count()
+        for df in (w.mentions, w.surfaces, w.edges):
+            df.unpersist()
+        timings["warmup_2k"] = round(time.monotonic() - t0, 3)
+
+        pages = spark.read.parquet(f"{tmp}/pages")
+        t0 = time.monotonic()
+        res = link_pipeline(spark, pages, cfg=LinkConfig())
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        link_sec = time.monotonic() - t0
+        timings["link_pipeline"] = round(link_sec, 3)
+        assert n_clusters > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "linked_docs_per_sec": round(N_LINK_PAGES / link_sec, 1),
+                "link_pages": N_LINK_PAGES,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

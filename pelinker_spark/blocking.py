@@ -37,17 +37,65 @@ def char_shingles(s: Column, n: int = 3) -> Column:
     )
 
 
+# Odd 31-bit multipliers for the arithmetic hash family. The base shingle
+# hash is masked to 31 bits so 31x31-bit products never overflow int64
+# (ANSI mode throws on long overflow).
+_MH_A = [
+    0x7F4A7C15, 0x1CE4E5B9, 0x133111EB, 0x6659FD93, 0x25A5A5A5, 0x27D4EB4F,
+    0x1E3779F9, 0x165667C5, 0x7F4A7D07, 0x1CE4E4A1, 0x13311203, 0x6659FC89,
+    0x27D4EA57, 0x1E3778E1, 0x165666B3, 0x7F4A7B0B,
+]
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
-    """array<bigint> minhash signature: min over shingles of
-    xxhash64(shingle, seed_k) per hash function k."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, k=k: F.xxhash64(s, F.lit(k)))
-            )
-            for k in range(num_hashes)
-        ]
+    """array<bigint> minhash signature over an array column (kept for
+    small-data/oracle use; the pipeline path uses minhash_signatures_agg —
+    higher-order-function lambdas are interpreted, not codegen'd, so this
+    form is ~20x slower per row at scale)."""
+    assert num_hashes <= len(_MH_A)
+    base = F.transform(
+        shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)
     )
+
+    def _mix(a: int, k: int):
+        # unary lambda — extra params would be bound to transform's index arg
+        def fn(h):
+            return (h + F.lit(k)) * F.lit(a) % F.lit(2147483647)
+
+        return fn
+
+    sig = []
+    for k in range(num_hashes):
+        sig.append(F.array_min(F.transform(base, _mix(_MH_A[k], k))))
+    return F.array(*sig)
+
+
+def minhash_signatures_agg(
+    surfaces: DataFrame, key_col: str = "key", num_hashes: int = 12, n: int = 3
+) -> DataFrame:
+    """Scalable minhash: explode shingles → scalar xxhash64 (whole-stage
+    codegen) → groupBy(key) with num_hashes min() aggregates. Partial
+    aggregation collapses each key to its running minima map-side, so the
+    shuffle carries |keys| rows, not |keys|x|shingles|.
+
+    Returns (key, mh0..mh{num_hashes-1})."""
+    assert num_hashes <= len(_MH_A)
+    padded = F.rpad(F.col(key_col), n, "_")
+    ex = surfaces.select(
+        key_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+                lambda i: F.substring(padded, i, n),
+            )
+        ).alias("sh"),
+    )
+    h = F.shiftrightunsigned(F.xxhash64(F.col("sh")), 33)
+    aggs = [
+        F.min((h + F.lit(k)) * F.lit(_MH_A[k]) % F.lit(2147483647)).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    return ex.groupBy(key_col).agg(*aggs)
 
 
 def lsh_bands(sig: Column, bands: int = 4, rows: int = 3) -> Column:
@@ -86,16 +134,33 @@ def lsh_candidate_pairs(
     equi-key, so Catalyst shuffles once on the bucket id.
     """
     assert num_hashes >= bands * rows
-    sig = minhash_signature(char_shingles(F.col(key_col)), num_hashes)
-    bucketed = (
-        surfaces.select(key_col)
-        .withColumn("bnd", F.explode(lsh_bands(sig, bands, rows)))
-        .select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
-    )
-    # cap per bucket — deterministic, defuses quadratic blowup on hot buckets
-    w = Window.partitionBy("band", "bh").orderBy(F.xxhash64(F.col(key_col)))
-    bucketed = bucketed.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= max_block
+    sig = minhash_signatures_agg(surfaces.select(key_col), key_col, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ":", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ),
+                F.lit(b),
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bucketed = sig.select(
+        key_col, F.explode(F.array(*band_structs)).alias("bnd")
+    ).select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
+    # Hot-bucket drop: an LSH bucket larger than max_block is a stop-bucket
+    # (low-information, quadratic-pair risk) and is skipped outright — a
+    # hash aggregate + broadcast-able semi join, cheaper and more
+    # skew-robust than a global sort-based per-bucket cap. The reference's
+    # cap discipline (sampling.py:101-153) survives in cap_group_rows for
+    # callers that need exact-k retention.
+    sizes = bucketed.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+    bucketed = bucketed.join(
+        sizes.where(F.col("bn") <= max_block).select("band", "bh"),
+        ["band", "bh"],
+        "left_semi",
     )
 
     a = bucketed.select(

@@ -1,4 +1,4 @@
-"""Transitive clustering: iterative hash-min connected components.
+"""Transitive clustering: connected components with adaptive execution.
 
 Replaces the reference's two clustering mechanisms with one scalable
 primitive (per the north rule): the union-find overlap dedup
@@ -6,24 +6,50 @@ primitive (per the north rule): the union-find overlap dedup
 (clustering_fit.py:117-143) both become connected components over a scored
 edge table.
 
-Algorithm: hash-min label propagation — every node starts as its own
-component (a stable 64-bit id); each iteration every node takes the min
-component id over itself and its neighbors; stop at fixpoint. Iterations =
-O(component diameter); surface-form clusters are shallow (hub-and-spoke
-around the canonical form), so 3-5 iterations in practice. Each iteration
-is one shuffle on node id; `localCheckpoint` truncates lineage so plans
-don't grow (SURVEY.md §4 custom-rule assessment).
+Component identity: the lexicographically smallest member key — stable,
+partitioning-independent, identical across both execution paths.
 
-Component ids are xxhash64(node_key) — at 10^12 nodes the collision
-probability for any single pair is ~2^-64; a birthday-safe variant would
-use the 128-bit md5 hex string as the id at ~2x shuffle width (the code
-supports it via id_col).
+Two physical strategies, chosen by edge count (the planner-style decision a
+real engine makes):
+
+- **Driver union-find** for small edge sets (the common case after
+  blocking+scoring collapse the graph to near-duplicate links): collecting
+  a few hundred thousand edges and running path-compressed union-find is
+  orders of magnitude cheaper than distributed iterations.
+- **Distributed hash-min label propagation** for edge sets that don't fit
+  a driver: each iteration every node takes the min component key over
+  itself and its neighbors (one shuffle per iteration on the node key);
+  stop at fixpoint. Iterations = O(component diameter); surface-form
+  clusters are shallow hub-and-spoke graphs, so 3-5 rounds in practice.
+  localCheckpoint truncates lineage between rounds (SURVEY.md §4).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DRIVER_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edge_rows: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Path-compressed union-find; root relabeled to min member key."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return [(k, find(k)) for k in set(parent) | {b for _, b in edge_rows} | {a for a, _ in edge_rows}]
 
 
 def connected_components(
@@ -31,25 +57,36 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) [string keys] → (key, component) where component is
-    the min xxhash64 over the node's component members.
-
-    Deterministic: result depends only on the edge set, not partitioning.
-    """
+    the lexicographically smallest member key. Deterministic: depends only
+    on the edge set, never on partitioning."""
     spark = edges.sparkSession
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        rows = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+        pairs = _driver_union_find(rows)
+        schema = T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("component", T.StringType(), False),
+            ]
+        )
+        return spark.createDataFrame(pairs or [], schema)
+
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .dropDuplicates(["a", "b"])
         .persist()
     )
-    sym.count()  # materialize once; reused every iteration
+    sym.count()
 
     comp = (
         sym.select(F.col("a").alias("key"))
         .distinct()
-        .withColumn("component", F.xxhash64("key"))
+        .withColumn("component", F.col("key"))
         .localCheckpoint()
     )
 
@@ -59,18 +96,15 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_comp = (
-            comp.join(nbr_min, comp.key == nbr_min.a, "left")
-            .select(
-                "key",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("changed"),
-            )
+        new_comp = comp.join(nbr_min, comp.key == nbr_min.a, "left").select(
+            "key",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nbr_component"), F.col("component")),
+            ).alias("component"),
+            (F.col("nbr_component") < F.col("component")).alias("changed"),
         )
-        new_comp = new_comp.localCheckpoint()  # truncate lineage per round
+        new_comp = new_comp.localCheckpoint()
         n_changed = new_comp.where(F.col("changed")).count()
         comp = new_comp.drop("changed")
         if n_changed == 0:

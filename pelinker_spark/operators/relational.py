@@ -1,0 +1,757 @@
+"""Relational operator suite — SURVEY.md §2 items re-expressed as Spark
+DataFrame plans over the driver's TPC-H-ish testdata, each paired with an
+ANSI-SQL oracle that DuckDB runs on the same parquet (the driver's
+correctness gate).
+
+Float determinism discipline: every floating aggregate rounds its addends
+and accumulates in DECIMAL (exact, order-independent), casting the final
+value back to DOUBLE — so Spark's parallel partial aggregation and DuckDB's
+serial aggregation produce bit-identical results regardless of row order.
+Pure integer counts and ratios of identical values are exact by
+construction. Orderings used under LIMIT always end in a unique key.
+
+Each QUERIES entry cites the reference operator it covers (file:line into
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,2)"
+DEC8 = "decimal(28,8)"
+DEC9 = "decimal(38,9)"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def rd(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 2, dec: str = DEC):
+    """Exact decimal sum of rounded addends, surfaced as double."""
+    return F.sum(F.round(col, scale).cast(dec)).cast("double")
+
+
+def _revenue_addend():
+    """l_extendedprice*(1-l_discount) in exact decimal arithmetic — the
+    inputs are 2dp/2dp-valued doubles, so the decimal casts are unambiguous
+    and the product is exact in both engines (rounding a double *product*
+    is engine-dependent at .5 boundaries; this never rounds a product)."""
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+
+
+# --------------------------------------------------------------------------
+# A2: partial+final aggregation (ref embedding_fusion.py:323-381)
+def q01_pricing_summary(spark, sf_dir):
+    li = rd(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias(
+                "sum_base_price"
+            ),
+            F.sum(_revenue_addend()).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# J-joins + O5 top-k (ref model_selection/runner.py:940-944)
+def q02_revenue_topk(spark, sf_dir):
+    c = rd(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = rd(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01"))
+    )
+    li = rd(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_addend()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_Q02 = """
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(8,4)) - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1,2,3
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# P3: rare-entity filter / group-count predicate (ref analysis.py:799-820)
+def q03_rare_parts_filter(spark, sf_dir):
+    li = rd(spark, sf_dir, "lineitem")
+    part = rd(spark, sf_dir, "part")
+    cnt = li.groupBy("l_partkey").agg(F.count("*").alias("n_li")).where(
+        F.col("n_li") >= 40
+    )
+    return cnt.join(F.broadcast(part), cnt.l_partkey == part.p_partkey).select(
+        "p_partkey", "p_name", "n_li"
+    )
+
+
+SQL_Q03 = """
+SELECT p.p_partkey, p.p_name, j.n_li
+FROM (SELECT l_partkey, COUNT(*) AS n_li FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 40) j
+JOIN part p ON p.p_partkey = j.l_partkey
+"""
+
+
+# W1: per-group deterministic top-k cap (ref sampling.py:101-153)
+def q04_topk_per_group(spark, sf_dir):
+    li = rd(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+    )
+
+
+SQL_Q04 = """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+  FROM lineitem) t
+WHERE rn <= 3
+"""
+
+
+# A5: modal value with deterministic tiebreak (ref linker_cluster_training.py:12-20)
+def q05_modal_event_type(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+SQL_Q05 = """
+SELECT user_id, event_type AS modal_type, n FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) t
+WHERE rn = 1
+"""
+
+
+# A4: two-denominator composition (ref linker_cluster_training.py:23-61)
+def q06_composition(spark, sf_dir):
+    c = rd(spark, sf_dir, "customer")
+    n = rd(spark, sf_dir, "nation")
+    base = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    return base.select(
+        "n_name",
+        "c_mktsegment",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("n_name")), 6
+        ).alias("frac_of_nation"),
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("c_mktsegment")), 6
+        ).alias("frac_of_segment"),
+    )
+
+
+SQL_Q06 = """
+SELECT n_name, c_mktsegment, n,
+  ROUND(n / SUM(n) OVER (PARTITION BY n_name), 6) AS frac_of_nation,
+  ROUND(n / SUM(n) OVER (PARTITION BY c_mktsegment), 6) AS frac_of_segment
+FROM (
+  SELECT n_name, c_mktsegment, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2) t
+"""
+
+
+# A6: weighted mass aggregation (ref cluster_composition_viz.py:18-81)
+def q07_weighted_mass(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    peru = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    return (
+        ev.join(peru, "user_id")
+        .withColumn("w", F.round(F.lit(1.0) / F.sqrt(F.col("c")), 8))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("w").cast(DEC8)).cast("double").alias("mass"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_Q07 = """
+WITH peru AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+SELECT e.event_type,
+  CAST(SUM(CAST(ROUND(1.0/SQRT(c), 8) AS DECIMAL(28,8))) AS DOUBLE) AS mass,
+  COUNT(*) AS n_events
+FROM events e JOIN peru USING (user_id)
+GROUP BY 1
+"""
+
+
+# A8: quantile summary, index-based exact (ref model.py:1210-1243)
+def q08_quantiles(spark, sf_dir):
+    o = rd(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    cw = Window.partitionBy("o_orderpriority")
+    t = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("cnt"),
+    )
+    outs = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == (F.floor((F.col("cnt") - 1) * F.lit(q)) + 1).cast("int"),
+                F.col("v"),
+            )
+        ).alias(name)
+        for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+    ]
+    return t.groupBy("o_orderpriority").agg(*outs)
+
+
+SQL_Q08 = """
+SELECT o_orderpriority,
+  MAX(CASE WHEN rn = CAST(FLOOR((cnt-1)*0.5) AS INT)+1 THEN v END) AS p50,
+  MAX(CASE WHEN rn = CAST(FLOOR((cnt-1)*0.9) AS INT)+1 THEN v END) AS p90,
+  MAX(CASE WHEN rn = CAST(FLOOR((cnt-1)*0.99) AS INT)+1 THEN v END) AS p99
+FROM (
+  SELECT o_orderpriority, o_totalprice AS v,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders) t
+GROUP BY o_orderpriority
+"""
+
+
+# J5: interval-overlap equi+theta self-join (ref model.py:1097-1105, :1172-1178)
+def q09_interval_overlap(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    e1 = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id1"), F.col("value").alias("v1")
+    )
+    e2 = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id2"), F.col("value").alias("v2")
+    )
+    return (
+        e1.join(e2, "user_id")
+        .where(
+            (F.col("id1") < F.col("id2"))
+            & (F.col("v1") < F.col("v2") + 10)
+            & (F.col("v2") < F.col("v1") + 10)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_overlaps"))
+    )
+
+
+SQL_Q09 = """
+SELECT e1.user_id AS user_id, COUNT(*) AS n_overlaps
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id AND e1.event_id < e2.event_id
+ AND e1.value < e2.value + 10 AND e2.value < e1.value + 10
+GROUP BY 1
+"""
+
+
+# P2/J7: semi join (ref selection.py:91-93)
+def q10_semi_join(spark, sf_dir):
+    c = rd(spark, sf_dir, "customer")
+    o = rd(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_Q10 = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+"""
+
+
+# T3: anti join (ref util.py:1085-1088)
+def q11_anti_join(spark, sf_dir):
+    c = rd(spark, sf_dir, "customer")
+    o = rd(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_Q11 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+# A1/A3: per-group element-wise vector mean (ref embedding_fusion.py:165-186)
+def q12_embed_centroids(spark, sf_dir):
+    em = rd(spark, sf_dir, "embeddings")
+    return (
+        em.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v"), 8).cast(DEC8)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("centroid_v")
+        )
+    )
+
+
+SQL_Q12 = """
+SELECT label, pos,
+  ROUND(CAST(SUM(CAST(ROUND(v,8) AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*), 6) AS centroid_v
+FROM (
+  SELECT label, CAST(generate_subscripts(embedding,1)-1 AS INT) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings) t
+GROUP BY 1, 2
+"""
+
+
+# W6: running sum (ref util.py:348-351)
+def q13_running_sum(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value"), 2).cast(DEC)).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+SQL_Q13 = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value,2) AS DECIMAL(28,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events
+"""
+
+
+# W5: centered moving average (ref clustering_grid.py:91-120)
+def q14_moving_avg(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum(F.round(F.col("value"), 2).cast(DEC)).over(w).cast("double")
+            / F.count("*").over(w),
+            6,
+        ).alias("smoothed"),
+    )
+
+
+SQL_Q14 = """
+SELECT event_id, user_id,
+  ROUND(CAST(SUM(CAST(ROUND(value,2) AS DECIMAL(28,2))) OVER w AS DOUBLE)
+        / COUNT(*) OVER w, 6) AS smoothed
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+# M4/M5: deterministic hash-based sampling (ref util.py:1055-1109; SURVEY §7.3.2
+# — hash sampling instead of rand() for partition-stable byte-identity)
+def q15_deterministic_sample(spark, sf_dir):
+    li = rd(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        )
+    )
+    return li.where(F.substring(h, 1, 2) <= "0f").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+SQL_Q15 = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) <= '0f'
+"""
+
+
+# F15: content fingerprint + exact dedup groups (dedup channel 1)
+def q16_doc_fingerprints(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+SQL_Q16 = """
+SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+# n-gram Jaccard near-dup pairs (dedup channel 2)
+def q17_token_jaccard(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.withColumnRenamed("doc_id", "doc_a")
+    b = tok.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+    )
+    return j.where(F.col("jaccard") >= 0.8).select(
+        "doc_a", "doc_b", "n_common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_Q17 = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents WHERE doc_id < 100),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_common,
+  ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
+"""
+
+
+# Similarity search: brute-force cosine top-k (ANN baseline)
+def q18_cosine_topk(spark, sf_dir):
+    em = rd(spark, sf_dir, "embeddings")
+    lf = em.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    q = lf.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+    )
+    c = lf.select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cv"))
+    dot = (
+        q.join(c, "pos")
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum(F.round(F.col("qv") * F.col("cv"), 9).cast(DEC9))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    nrm = lf.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.round(F.col("v") * F.col("v"), 9).cast(DEC9)).cast("double")).alias("nrm")
+    )
+    nq = nrm.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qn"))
+    nc = nrm.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("cn"))
+    sim = (
+        dot.join(nq, "qid")
+        .join(nc, "cid")
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        sim.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("qid", "cid", "cos_sim", "rn")
+    )
+
+
+SQL_Q18 = """
+WITH lf AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding,1) AS INT) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings),
+dot AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+    CAST(SUM(CAST(ROUND(q.v*c.v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS dot
+  FROM lf q JOIN lf c ON q.pos = c.pos
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2),
+nrm AS (
+  SELECT vec_id,
+    SQRT(CAST(SUM(CAST(ROUND(v*v, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+  FROM lf GROUP BY 1),
+sim AS (
+  SELECT qid, cid, ROUND(dot/(nq.nrm*nc.nrm), 6) AS cos_sim
+  FROM dot JOIN nrm nq ON nq.vec_id = qid JOIN nrm nc ON nc.vec_id = cid
+  WHERE qid <> cid)
+SELECT qid, cid, cos_sim, rn FROM (
+  SELECT qid, cid, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rn
+  FROM sim) t
+WHERE rn <= 3
+"""
+
+
+# Text analysis: per-language stats (lang-ID support signals)
+def q19_lang_stats(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+        F.round(F.sum(ntok.cast("long")).cast("double") / F.count("*"), 6).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+SQL_Q19 = """
+SELECT lang, COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE)/COUNT(*), 6) AS avg_chars,
+  ROUND(CAST(SUM(CAST(LEN(string_split(text,' ')) AS BIGINT)) AS DOUBLE)/COUNT(*), 6) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+# Text quality scoring (stopword ratio + bounded length score)
+_STOPS = ["the", "a", "of", "and", "to", "in"]
+
+
+def q20_doc_quality(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("int")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPS))).cast("int")
+    stop_ratio = n_stop * F.lit(1.0) / n_tokens
+    quality = (1 - stop_ratio) * F.least(n_tokens, F.lit(100)) / F.lit(100.0)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+SQL_Q20 = f"""
+SELECT doc_id, n_tokens,
+  ROUND(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+  ROUND((1 - n_stop * 1.0 / n_tokens) * LEAST(n_tokens, 100) / 100.0, 6) AS quality
+FROM (
+  SELECT doc_id,
+    CAST(LEN(string_split(text,' ')) AS INT) AS n_tokens,
+    CAST(LEN(list_filter(string_split(text,' '),
+         x -> x IN ({",".join(repr(s) for s in _STOPS)}))) AS INT) AS n_stop
+  FROM documents) t
+"""
+
+
+# J1/F7: normalized blocking keys over a corpus — validates textnorm itself
+# against the oracle (ref onto.py:146-156, util.py:913-920)
+def q21_blocking_keys(spark, sf_dir):
+    from ..textnorm import norm_token_col
+
+    d = rd(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("t")
+    ).select("doc_id", norm_token_col(F.col("t")).alias("key"))
+    return (
+        tok.where(F.col("key") != "")
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+SQL_Q21 = """
+SELECT key, COUNT(*) AS n_mentions, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+    CASE WHEN LENGTH(t2) > 3 AND t2 LIKE '%s' AND t2 NOT LIKE '%ss'
+         THEN substr(t2, 1, LENGTH(t2)-1) ELSE t2 END AS key
+  FROM (
+    SELECT doc_id,
+      regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS t2
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u
+  ) v) w
+WHERE key <> ''
+GROUP BY key
+"""
+
+
+# MinHash signatures (md5-min over char 8-gram shingles) — the LSH
+# primitive verified value-for-value against the oracle
+def q22_minhash_signatures(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    d.createOrReplaceTempView("pel_docs_q22")
+    return d.sparkSession.sql(
+        """
+        SELECT doc_id,
+          array_min(transform(sequence(1, greatest(length(text)-7, 1)),
+            i -> md5(concat('s0:', substr(text, i, 8))))) AS mh0,
+          array_min(transform(sequence(1, greatest(length(text)-7, 1)),
+            i -> md5(concat('s1:', substr(text, i, 8))))) AS mh1,
+          array_min(transform(sequence(1, greatest(length(text)-7, 1)),
+            i -> md5(concat('s2:', substr(text, i, 8))))) AS mh2
+        FROM pel_docs_q22
+        """
+    )
+
+
+SQL_Q22 = """
+SELECT doc_id,
+  list_min(list_transform(generate_series(1, GREATEST(LENGTH(text)-7, 1)),
+    i -> md5('s0:' || substr(text, CAST(i AS INT), 8)))) AS mh0,
+  list_min(list_transform(generate_series(1, GREATEST(LENGTH(text)-7, 1)),
+    i -> md5('s1:' || substr(text, CAST(i AS INT), 8)))) AS mh1,
+  list_min(list_transform(generate_series(1, GREATEST(LENGTH(text)-7, 1)),
+    i -> md5('s2:' || substr(text, CAST(i AS INT), 8)))) AS mh2
+FROM documents WHERE doc_id < 200
+"""
+
+
+# Event-time tumbling window aggregate (streaming-shaped, batch-checked)
+def q23_tumbling_daily(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
+SQL_Q23 = """
+SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value,2) AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_topk": q02_revenue_topk,
+    "q03_rare_parts_filter": q03_rare_parts_filter,
+    "q04_topk_per_group": q04_topk_per_group,
+    "q05_modal_event_type": q05_modal_event_type,
+    "q06_composition": q06_composition,
+    "q07_weighted_mass": q07_weighted_mass,
+    "q08_quantiles": q08_quantiles,
+    "q09_interval_overlap": q09_interval_overlap,
+    "q10_semi_join": q10_semi_join,
+    "q11_anti_join": q11_anti_join,
+    "q12_embed_centroids": q12_embed_centroids,
+    "q13_running_sum": q13_running_sum,
+    "q14_moving_avg": q14_moving_avg,
+    "q15_deterministic_sample": q15_deterministic_sample,
+    "q16_doc_fingerprints": q16_doc_fingerprints,
+    "q17_token_jaccard": q17_token_jaccard,
+    "q18_cosine_topk": q18_cosine_topk,
+    "q19_lang_stats": q19_lang_stats,
+    "q20_doc_quality": q20_doc_quality,
+    "q21_blocking_keys": q21_blocking_keys,
+    "q22_minhash_signatures": q22_minhash_signatures,
+    "q23_tumbling_daily": q23_tumbling_daily,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": SQL_Q01,
+    "q02_revenue_topk": SQL_Q02,
+    "q03_rare_parts_filter": SQL_Q03,
+    "q04_topk_per_group": SQL_Q04,
+    "q05_modal_event_type": SQL_Q05,
+    "q06_composition": SQL_Q06,
+    "q07_weighted_mass": SQL_Q07,
+    "q08_quantiles": SQL_Q08,
+    "q09_interval_overlap": SQL_Q09,
+    "q10_semi_join": SQL_Q10,
+    "q11_anti_join": SQL_Q11,
+    "q12_embed_centroids": SQL_Q12,
+    "q13_running_sum": SQL_Q13,
+    "q14_moving_avg": SQL_Q14,
+    "q15_deterministic_sample": SQL_Q15,
+    "q16_doc_fingerprints": SQL_Q16,
+    "q17_token_jaccard": SQL_Q17,
+    "q18_cosine_topk": SQL_Q18,
+    "q19_lang_stats": SQL_Q19,
+    "q20_doc_quality": SQL_Q20,
+    "q21_blocking_keys": SQL_Q21,
+    "q22_minhash_signatures": SQL_Q22,
+    "q23_tumbling_daily": SQL_Q23,
+}

@@ -47,8 +47,8 @@ class LinkConfig:
     lsh_bands: int = 8
     lsh_rows: int = 2
     max_block: int = 50
-    jw_threshold: float = 0.93
-    cos_threshold: float = 0.75
+    jw_threshold: float = 0.95
+    cos_threshold: float = 0.90
     seed: int = 13
 
     def as_dict(self) -> dict:
@@ -66,12 +66,15 @@ class LinkResult:
 
 def extract_stage(pages: DataFrame) -> DataFrame:
     """html → text with the byte-identity contract; drops rows whose html
-    doesn't parse to non-empty text (reference non-null guard util.py:876)."""
-    return (
-        pages.withColumn("text", extract_text(F.col("html")))
-        .where(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
-        .select("url", "warc_ts", "text", "lang")
-    )
+    doesn't parse to non-empty text (reference non-null guard util.py:876).
+    Corpora that already carry extracted text (no html column) pass
+    through — the reference's pmid→text tables have the same shape."""
+    if "html" in pages.columns:
+        pages = pages.withColumn("text", extract_text(F.col("html")))
+    cols = [c for c in ("url", "warc_ts", "text", "lang") if c in pages.columns]
+    return pages.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).select(*cols)
 
 
 def surface_table(mentions: DataFrame) -> DataFrame:
@@ -85,12 +88,32 @@ def surface_table(mentions: DataFrame) -> DataFrame:
 
 
 def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig) -> DataFrame:
-    """Attach embeddings + JW, one encode per *surface* (not per pair)."""
-    emb = surfaces.select("key", encode_udf(F.col("key")).alias("emb"))
+    """Staged scoring: cheap Jaro-Winkler first (one Arrow batch pass over
+    the pair table), then the encoder + cosine only for JW survivors — the
+    encoder is the expensive UDF and must see as few rows as possible.
+    Returns pairs with both scores, already filtered to jw >= threshold."""
+    jw_pass = pairs.withColumn(
+        "jw", jaro_winkler_udf(F.col("key_a"), F.col("key_b"))
+    ).where(F.col("jw") >= cfg.jw_threshold)
+    # consumed three times below (two key projections + the join base);
+    # without materialization the whole pair-generation lineage re-runs 3x
+    jw_pass = jw_pass.persist()
+
+    keys = (
+        jw_pass.select(F.col("key_a").alias("key"))
+        .unionByName(jw_pass.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    emb = keys.select("key", encode_udf(F.col("key")).alias("emb"))
     scored = (
-        pairs.join(emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"), "key_a")
-        .join(emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"), "key_b")
-        .withColumn("jw", jaro_winkler_udf(F.col("key_a"), F.col("key_b")))
+        jw_pass.join(
+            emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"),
+            "key_a",
+        )
+        .join(
+            emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"),
+            "key_b",
+        )
         .withColumn("cos", cosine_col(F.col("emb_a"), F.col("emb_b")))
         .drop("emb_a", "emb_b")
     )
@@ -111,17 +134,30 @@ def link_pipeline(
         else None
     )
 
-    def stage(name, build):
-        return ckpt.stage(name, build) if ckpt else build()
+    def stage(name, build, persist=False):
+        if ckpt:
+            return ckpt.stage(name, build)
+        df = build()
+        if persist:
+            # without a checkpoint dir, stage outputs that feed multiple
+            # downstream actions must be materialized once, or every action
+            # recomputes the whole upstream lineage (incl. the extract UDF).
+            # Materialize eagerly: one clean job per stage keeps AQE's
+            # runtime statistics accurate for the downstream plan instead
+            # of optimizing one enormous fused DAG blind.
+            df = df.persist()
+            df.count()
+        return df
 
     docs = stage("extract", lambda: extract_stage(pages))
     mentions = stage(
-        "mentions", lambda: generate_mentions(docs, cfg.windows, cfg.lang)
+        "mentions", lambda: generate_mentions(docs, cfg.windows, cfg.lang),
+        persist=True,
     )
-    surfaces = stage("surfaces", lambda: surface_table(mentions))
+    surfaces = stage("surfaces", lambda: surface_table(mentions), persist=True)
 
-    def build_edges():
-        pairs = lsh_candidate_pairs(
+    def build_pairs():
+        return lsh_candidate_pairs(
             surfaces,
             num_hashes=cfg.lsh_num_hashes,
             bands=cfg.lsh_bands,
@@ -130,22 +166,26 @@ def link_pipeline(
         ).unionByName(compact_key_pairs(surfaces)).dropDuplicates(
             ["key_a", "key_b"]
         )
-        scored = score_pairs(pairs, surfaces, cfg)
-        return scored.where(
-            (F.col("jw") >= cfg.jw_threshold) & (F.col("cos") >= cfg.cos_threshold)
-        ).select("key_a", "key_b", "jw", "cos")
 
-    edges = stage("edges", build_edges)
+    pairs = stage("pairs", build_pairs, persist=True)
+
+    def build_edges():
+        scored = score_pairs(pairs, surfaces, cfg)
+        return scored.where(F.col("cos") >= cfg.cos_threshold).select(
+            "key_a", "key_b", "jw", "cos"
+        )
+
+    edges = stage("edges", build_edges, persist=True)
 
     def build_components():
         comp = connected_components(edges, "key_a", "key_b")
-        # singletons (surfaces with no qualifying edge) keep their own id
+        # singletons (surfaces with no qualifying edge) are their own id
         return (
             surfaces.select("key")
             .join(comp, "key", "left")
             .select(
                 "key",
-                F.coalesce(F.col("component"), F.xxhash64("key")).alias("component"),
+                F.coalesce(F.col("component"), F.col("key")).alias("component"),
             )
         )
 

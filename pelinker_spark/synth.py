@@ -150,10 +150,16 @@ def page_record(seed: int, i: int, kb: list[dict]) -> dict:
     for s in range(n_sent):
         hs = _h(seed, "sent", i, s)
         n_tok = 6 + hs % 9
-        toks = [
-            _DISTRACTORS[_h(seed, "tok", i, s, t) % len(_DISTRACTORS)]
-            for t in range(n_tok)
-        ]
+        toks = []
+        for t in range(n_tok):
+            ht = _h(seed, "tok", i, s, t)
+            # Zipf-ish: 60% head vocabulary, 40% long-tail hashed terms —
+            # realistic webtext has a heavy tail; a tiny closed vocabulary
+            # would make every n-gram window collide with every other
+            if ht % 5 < 3:
+                toks.append(_DISTRACTORS[ht % len(_DISTRACTORS)])
+            else:
+                toks.append(f"term{(ht >> 16) % 20000}")
         if s < n_mentions:
             ent = kb[_h(seed, "ment", i, s) % len(kb)]
             surface = _vary_surface(ent["label"], _h(seed, "var", i, s))
