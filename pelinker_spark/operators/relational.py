@@ -503,22 +503,24 @@ WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= 0.8
 # Similarity search: brute-force cosine top-k (ANN baseline)
 def q18_cosine_topk(spark, sf_dir):
     em = rd(spark, sf_dir, "embeddings")
-    lf = em.select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+    # quantize components to integer micro-units: integer dot products are
+    # exact and order-independent; the final division of identical integers
+    # is bit-identical in every engine (rounding *products* is not)
+    lf = em.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select("vec_id", "pos", F.round(F.col("v") * 1000000.0).cast("long").alias("iv"))
     q = lf.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"), "pos", F.col("iv").alias("qv")
     )
-    c = lf.select(F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cv"))
+    c = lf.select(F.col("vec_id").alias("cid"), "pos", F.col("iv").alias("cv"))
     dot = (
         q.join(c, "pos")
         .groupBy("qid", "cid")
-        .agg(
-            F.sum(F.round(F.col("qv") * F.col("cv"), 9).cast(DEC9))
-            .cast("double")
-            .alias("dot")
-        )
+        .agg(F.sum(F.col("qv") * F.col("cv")).cast("double").alias("dot"))
     )
     nrm = lf.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.round(F.col("v") * F.col("v"), 9).cast(DEC9)).cast("double")).alias("nrm")
+        F.sqrt(F.sum(F.col("iv") * F.col("iv")).cast("double")).alias("nrm")
     )
     nq = nrm.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qn"))
     nc = nrm.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("cn"))
@@ -529,7 +531,7 @@ def q18_cosine_topk(spark, sf_dir):
         .select(
             "qid",
             "cid",
-            F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 6).alias("cos_sim"),
+            (F.col("dot") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
@@ -543,20 +545,19 @@ def q18_cosine_topk(spark, sf_dir):
 SQL_Q18 = """
 WITH lf AS (
   SELECT vec_id, CAST(generate_subscripts(embedding,1) AS INT) AS pos,
-         unnest(embedding) AS v
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS iv
   FROM embeddings),
 dot AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
-    CAST(SUM(CAST(ROUND(q.v*c.v, 9) AS DECIMAL(38,9))) AS DOUBLE) AS dot
+    CAST(SUM(q.iv*c.iv) AS DOUBLE) AS dot
   FROM lf q JOIN lf c ON q.pos = c.pos
   WHERE q.vec_id < 10
   GROUP BY 1, 2),
 nrm AS (
-  SELECT vec_id,
-    SQRT(CAST(SUM(CAST(ROUND(v*v, 9) AS DECIMAL(38,9))) AS DOUBLE)) AS nrm
+  SELECT vec_id, SQRT(CAST(SUM(iv*iv) AS DOUBLE)) AS nrm
   FROM lf GROUP BY 1),
 sim AS (
-  SELECT qid, cid, ROUND(dot/(nq.nrm*nc.nrm), 6) AS cos_sim
+  SELECT qid, cid, dot/(nq.nrm*nc.nrm) AS cos_sim
   FROM dot JOIN nrm nq ON nq.vec_id = qid JOIN nrm nc ON nc.vec_id = cid
   WHERE qid <> cid)
 SELECT qid, cid, cos_sim, rn FROM (
@@ -704,6 +705,213 @@ FROM events GROUP BY 1, 2
 """
 
 
+# W1 analog with md5 ordering (oracle-portable hash order): deterministic
+# per-group "random" cap (ref sampling.py:101-153)
+def q24_hash_order_cap(spark, sf_dir):
+    li = rd(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        )
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(h.alias("h"))
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn")
+    )
+
+
+SQL_Q24 = """
+SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))) AS rn
+  FROM lineitem) t
+WHERE rn <= 2
+"""
+
+
+# M4: per-group negative sampling — anti join + exact per-group quota by
+# hash order (ref util.py:1055-1109)
+def q25_negative_sample(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    pos = ev.where(F.col("event_type") == "purchase")
+    negs = ev.where(F.col("event_type") != "purchase")
+    npos = pos.groupBy("user_id").agg(F.count("*").alias("npos"))
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("user_id").orderBy(h.alias("h"))
+    return (
+        negs.join(npos, "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("npos"))
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_Q25 = """
+WITH npos AS (
+  SELECT user_id, COUNT(*) AS npos FROM events
+  WHERE event_type = 'purchase' GROUP BY 1)
+SELECT user_id, event_id, event_type FROM (
+  SELECT e.user_id, e.event_id, e.event_type, n.npos,
+    ROW_NUMBER() OVER (PARTITION BY e.user_id
+      ORDER BY md5(CAST(e.event_id AS VARCHAR))) AS rn
+  FROM events e JOIN npos n USING (user_id)
+  WHERE e.event_type <> 'purchase') t
+WHERE rn <= npos
+"""
+
+
+# SimHash document fingerprint (dedup channel; 16-bit, md5-derived so it
+# stays oracle-portable)
+def q26_simhash(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("pel_docs_q26")
+    cols = ", ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(POW(2, {b}) AS BIGINT) ELSE 0 END AS b{b}"
+        for b in range(16)
+    )
+    return d.sparkSession.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, explode(split(text, ' ')) AS t FROM pel_docs_q26),
+        hashed AS (
+          SELECT doc_id,
+            CAST(conv(substr(md5(t), 1, 4), 16, 10) AS BIGINT) AS h
+          FROM tok),
+        bits AS (SELECT doc_id, {cols} FROM hashed GROUP BY doc_id)
+        SELECT doc_id,
+          {" + ".join(f"b{b}" for b in range(16))} AS simhash
+        FROM bits
+        """
+    )
+
+
+SQL_Q26 = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(t), 1, 4))::INT AS BIGINT) AS h
+  FROM tok),
+bits AS (
+  SELECT doc_id,
+    {", ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(POW(2, {b}) AS BIGINT) ELSE 0 END AS b{b}"
+        for b in range(16)
+    )}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, {" + ".join(f"b{b}" for b in range(16))} AS simhash
+FROM bits
+"""
+
+
+# Embedding-cosine near-duplicate pairs (dedup channel over vectors)
+def q27_embed_neardup(spark, sf_dir):
+    em = rd(spark, sf_dir, "embeddings")
+    lf = em.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v") * 1000000.0).cast("long").alias("iv"))
+    a = lf.select(F.col("vec_id").alias("va"), "pos", F.col("iv").alias("xa"))
+    b = lf.select(F.col("vec_id").alias("vb"), "pos", F.col("iv").alias("xb"))
+    dot = (
+        a.join(b, "pos")
+        .where(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    )
+    nrm = lf.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("iv") * F.col("iv")).cast("double")).alias("nrm")
+    )
+    na = nrm.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        dot.join(na, "va")
+        .join(nb, "vb")
+        .withColumn("cos_sim", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= 0.25)
+        .select("va", "vb", "cos_sim")
+    )
+
+
+SQL_Q27 = """
+WITH lf AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding,1) AS INT) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS iv
+  FROM embeddings),
+dot AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+    CAST(SUM(a.iv*b.iv) AS DOUBLE) AS dot
+  FROM lf a JOIN lf b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2),
+nrm AS (
+  SELECT vec_id, SQRT(CAST(SUM(iv*iv) AS DOUBLE)) AS nrm
+  FROM lf GROUP BY 1)
+SELECT va, vb, dot/(na.nrm*nb.nrm) AS cos_sim
+FROM dot JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+WHERE dot/(na.nrm*nb.nrm) >= 0.25
+"""
+
+
+# Language-ID n-gram/stopword heuristic (text-analysis channel)
+_LANG_STOPS = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+}
+
+
+def q28_lang_id(spark, sf_dir):
+    d = rd(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _hit_filter(stops):
+        def fn(t):  # unary — extra params would bind to the element index
+            return t.isin(*stops)
+
+        return fn
+
+    hits = {
+        lg: F.size(F.filter(toks, _hit_filter(stops))).cast("int")
+        for lg, stops in _LANG_STOPS.items()
+    }
+    pred = (
+        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def _sql_hits(lg):
+    stops = ",".join(repr(s) for s in _LANG_STOPS[lg])
+    return (
+        f"CAST(LEN(list_filter(string_split(text,' '), x -> x IN ({stops}))) AS INT)"
+    )
+
+
+SQL_Q28 = f"""
+SELECT doc_id, hits_en, hits_de, hits_fr,
+  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS predicted_lang
+FROM (
+  SELECT doc_id,
+    {_sql_hits("en")} AS hits_en,
+    {_sql_hits("de")} AS hits_de,
+    {_sql_hits("fr")} AS hits_fr
+  FROM documents) t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -728,6 +936,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_blocking_keys": q21_blocking_keys,
     "q22_minhash_signatures": q22_minhash_signatures,
     "q23_tumbling_daily": q23_tumbling_daily,
+    "q24_hash_order_cap": q24_hash_order_cap,
+    "q25_negative_sample": q25_negative_sample,
+    "q26_simhash": q26_simhash,
+    "q27_embed_neardup": q27_embed_neardup,
+    "q28_lang_id": q28_lang_id,
 }
 
 ORACLES: dict[str, str] = {
@@ -754,4 +967,9 @@ ORACLES: dict[str, str] = {
     "q21_blocking_keys": SQL_Q21,
     "q22_minhash_signatures": SQL_Q22,
     "q23_tumbling_daily": SQL_Q23,
+    "q24_hash_order_cap": SQL_Q24,
+    "q25_negative_sample": SQL_Q25,
+    "q26_simhash": SQL_Q26,
+    "q27_embed_neardup": SQL_Q27,
+    "q28_lang_id": SQL_Q28,
 }

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""N-vs-4N scaling benchmark (north rule: throughput scaling efficiency
+>= 0.8 from N to 4N parallelism, evidenced in this sandbox as local[N]
+vs local[4N] on byte-identical input).
+
+This host shares CPUs with other tenants (ambient /proc/loadavg ~7-15
+with zero local processes), so: (a) the pair defaults to 2 vs 8 cores,
+which fits inside the reliably-free capacity; (b) runs are interleaved
+and the best (min) wall-clock per level is used — standard practice for
+noisy-neighbor environments, since throughput is a property of the
+engine, not of the neighbors.
+
+Writes BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+N4 = 4 * N
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "40000"))
+
+
+def run_once(cores: int, pages_dir: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_run.py"), str(cores), pages_dir],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="pel_scaling_")
+    pages_dir = f"{tmp}/pages"
+    gen = (
+        "import sys; sys.path.insert(0, %r); "
+        "from pelinker_spark.session import get_spark; "
+        "from pelinker_spark.synth import web_pages; "
+        "spark = get_spark('gen', cores=8); "
+        "web_pages(spark, %d, seed=42, n_entities=200, partitions=64)"
+        ".write.mode('overwrite').parquet(%r)" % (REPO, PAGES, pages_dir)
+    )
+    subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
+
+    runs: dict[int, list[dict]] = {N: [], N4: []}
+    for _ in range(REPEATS):
+        for cores in (N, N4):  # interleaved to average out neighbor drift
+            runs[cores].append(run_once(cores, pages_dir))
+
+    best = {c: min(rs, key=lambda r: r["link_sec"]) for c, rs in runs.items()}
+    tput_n = best[N]["docs_per_sec"]
+    tput_4n = best[N4]["docs_per_sec"]
+    eff = (tput_4n / tput_n) / 4
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_cores": N,
+        "n4_cores": N4,
+        "docs_per_sec_n": tput_n,
+        "docs_per_sec_4n": tput_4n,
+        "link_sec_n": best[N]["link_sec"],
+        "link_sec_4n": best[N4]["link_sec"],
+        "n_pages": PAGES,
+        "all_runs": {str(c): rs for c, rs in runs.items()},
+    }
+    print(json.dumps(result))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE — measured scaling (N vs 4N parallelism)",
+        "",
+        f"Input: {PAGES} deterministic synthetic web pages (seed=42), "
+        "byte-identical across runs (generator is a pure function of "
+        "(seed, row_index) — pelinker_spark/synth.py).",
+        "",
+        "Environment caveat: shared host (ambient load from co-tenants, "
+        "/proc/loadavg 7-15 with zero local processes), hence N=2 vs 4N=8 "
+        "inside reliably-free capacity, interleaved runs, min wall-clock "
+        "per level.",
+        "",
+        "| cores | link wall (s) | linked docs/sec |",
+        "|---|---|---|",
+        f"| local[{N}] | {best[N]['link_sec']} | {tput_n} |",
+        f"| local[{N4}] | {best[N4]['link_sec']} | {tput_4n} |",
+        "",
+        f"**Scaling efficiency (tput@{N4} / tput@{N}) / 4 = {eff:.3f}** "
+        f"(target >= 0.8).",
+        "",
+        "All runs (interleaved):",
+        "```json",
+        json.dumps(runs, indent=2),
+        "```",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""One timed link-pipeline run at a given parallelism level, for the
+N-vs-4N scaling measurement. Prints one JSON line.
+
+Usage: python tools/scaling_run.py <cores> <pages_parquet_dir> [n_pages]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_dir = sys.argv[2]
+    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+    from pelinker_spark.session import get_spark
+    from pelinker_spark.synth import web_pages
+
+    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+
+    # steady-state warm-up (JIT + Python UDF workers), excluded from timing
+    wp = web_pages(spark, 2000, seed=7, n_entities=50, partitions=8)
+    w = link_pipeline(spark, wp, cfg=LinkConfig())
+    w.clusters.count()
+    for df in (w.mentions, w.surfaces, w.edges):
+        df.unpersist()
+
+    pages = spark.read.parquet(pages_dir)
+    n_pages = pages.count()
+
+    t0 = time.monotonic()
+    res = link_pipeline(spark, pages, cfg=LinkConfig())
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    link_sec = time.monotonic() - t0
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_pages": n_pages,
+                "n_clusters": n_clusters,
+                "link_sec": round(link_sec, 2),
+                "docs_per_sec": round(n_pages / link_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

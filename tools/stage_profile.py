@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Per-stage wall-clock profile of the link pipeline at a given core count.
+
+Usage: python tools/stage_profile.py <cores> <pages_parquet_dir>
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    pages_dir = sys.argv[2]
+    from pyspark.sql import functions as F
+
+    from pelinker_spark.blocking import compact_key_pairs, lsh_candidate_pairs
+    from pelinker_spark.cc import connected_components
+    from pelinker_spark.mentions import generate_mentions
+    from pelinker_spark.pipeline import (
+        LinkConfig,
+        extract_stage,
+        link_pipeline,
+        score_pairs,
+        surface_table,
+    )
+    from pelinker_spark.session import get_spark
+    from pelinker_spark.synth import web_pages
+
+    spark = get_spark(f"stageprof_{cores}", cores=cores, shuffle_partitions=cores)
+    cfg = LinkConfig()
+
+    wp = web_pages(spark, 2000, seed=7, n_entities=50, partitions=8)
+    w = link_pipeline(spark, wp, cfg=cfg)
+    w.clusters.count()
+    for df in (w.mentions, w.surfaces, w.edges):
+        df.unpersist()
+
+    pages = spark.read.parquet(pages_dir)
+    t: dict[str, float] = {}
+    T0 = time.monotonic()
+
+    def tick(name, df):
+        t0 = time.monotonic()
+        df = df.persist()
+        n = df.count()
+        t[name] = round(time.monotonic() - t0, 1)
+        return df, n
+
+    docs, _ = tick("extract", extract_stage(pages))
+    mentions, nm = tick("mentions", generate_mentions(docs, (1, 2, 3), "en"))
+    surfaces, ns = tick("surfaces", surface_table(mentions))
+    pairs, np_ = tick(
+        "pairs",
+        lsh_candidate_pairs(
+            surfaces, num_hashes=16, bands=8, rows=2, max_block=50
+        ).unionByName(compact_key_pairs(surfaces)).dropDuplicates(["key_a", "key_b"]),
+    )
+    scored, _ = tick("scored", score_pairs(pairs, surfaces, cfg))
+    edges, ne = tick(
+        "edges",
+        scored.where(F.col("cos") >= cfg.cos_threshold).select("key_a", "key_b"),
+    )
+    t0 = time.monotonic()
+    comp = connected_components(edges, "key_a", "key_b")
+    full = (
+        surfaces.select("key")
+        .join(comp, "key", "left")
+        .select("key", F.coalesce("component", F.col("key")).alias("component"))
+    )
+    clusters = mentions.join(full, "key")
+    nc = clusters.count()
+    t["cc+clusters"] = round(time.monotonic() - t0, 1)
+    t["TOTAL"] = round(time.monotonic() - T0, 1)
+    print(json.dumps({"cores": cores, "stages": t, "rows": {"mentions": nm, "surfaces": ns, "pairs": np_, "edges": ne, "clusters": nc}}))
+
+
+if __name__ == "__main__":
+    main()
