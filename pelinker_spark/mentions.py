@@ -53,7 +53,8 @@ def split_sentences(text: Column) -> Column:
 
 
 def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
-                      lang: str | None = "en") -> DataFrame:
+                      lang: str | None = "en",
+                      extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """pages(url, text, ...) → mention candidates.
 
     Output: url, itext, ichunk, wg, mention, key, a, b, a_abs, b_abs
@@ -61,6 +62,8 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
       - key: normalized blocking key
       - a,b: half-open char span within the normalized sentence
       - a_abs,b_abs: half-open char span within the normalized document
+    extra_cols are threaded through unchanged (e.g. warc_ts for streaming
+    event-time windows — stream-stream joins can't re-attach them later).
     """
     df = pages
     if lang is not None and "lang" in df.columns:
@@ -68,6 +71,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
 
     df = df.select(
         "url",
+        *extra_cols,
         F.lit(0).cast("long").alias("itext"),
         split_sentences(normalize_ws(F.col("text"))).alias("sents"),
     )
@@ -75,6 +79,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
     # _starts yields n+1 entries — slice to n so arrays_zip stays aligned
     df = df.select(
         "url",
+        *extra_cols,
         "itext",
         F.posexplode(
             F.arrays_zip(
@@ -84,6 +89,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         ).alias("ichunk", "z"),
     ).select(
         "url",
+        *extra_cols,
         "itext",
         F.col("ichunk").cast("long").alias("ichunk"),
         F.col("z.sents").alias("sent"),
@@ -92,7 +98,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
 
     toks = tokenize_col(F.col("sent"))
     df = df.select(
-        "url", "itext", "ichunk", "sent_off",
+        "url", *extra_cols, "itext", "ichunk", "sent_off",
         toks.alias("toks"),
         _starts(toks).alias("tstarts"),
     )
@@ -126,7 +132,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         win_arrays.append(win)
 
     df = df.select(
-        "url", "itext", "ichunk", "sent_off",
+        "url", *extra_cols, "itext", "ichunk", "sent_off",
         F.explode(F.flatten(F.array(*win_arrays))).alias("m"),
     )
 
@@ -134,6 +140,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         df.where(window_is_valid_col(F.col("m.normed")))
         .select(
             "url",
+            *extra_cols,
             "itext",
             "ichunk",
             F.col("m.wg").alias("wg"),
