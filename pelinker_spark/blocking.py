@@ -27,8 +27,9 @@ from pyspark.sql import functions as F
 
 def char_shingles(s: Column, n: int = 3) -> Column:
     """Distinct character n-grams of a string (padded so short strings
-    still produce one shingle)."""
-    padded = F.rpad(s, n, "_")
+    still produce one shingle). NB: rpad TRUNCATES longer strings, so pad
+    conditionally."""
+    padded = F.when(F.length(s) < n, F.rpad(s, n, "_")).otherwise(s)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
@@ -80,7 +81,8 @@ def minhash_signatures_agg(
 
     Returns (key, mh0..mh{num_hashes-1})."""
     assert num_hashes <= len(_MH_A)
-    padded = F.rpad(F.col(key_col), n, "_")
+    k = F.col(key_col)
+    padded = F.when(F.length(k) < n, F.rpad(k, n, "_")).otherwise(k)
     ex = surfaces.select(
         key_col,
         F.explode(

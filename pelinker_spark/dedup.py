@@ -1,0 +1,205 @@
+"""Document deduplication operators — the large-scale training-data
+channels, each a reusable DataFrame function (the oracle-checked query
+forms live in operators/relational.py q16/q17/q22/q26/q27).
+
+All channels share the engine's determinism discipline: hashes are
+content-derived (md5/xxhash64), never RNG; every function is a pure plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .blocking import minhash_signatures_agg
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Channel 1 — exact: md5 fingerprint groups with a canonical keeper
+    (min id). Returns (fp, n, keep_id)."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.count("*").alias("n"), F.min(id_col).alias("keep_id")
+    )
+
+
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+    shingle: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Channel 2 — MinHash-LSH near-dup candidates: char-shingle minhash
+    (explode → scalar hash → min() aggregates, the codegen-friendly form),
+    banded buckets, hot buckets dropped. Returns (id_a, id_b, band)."""
+    sig = minhash_signatures_agg(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("key")),
+        "key",
+        num_hashes,
+        n=shingle,
+    ).join(
+        docs.select(F.col(id_col).alias("__id"), F.col(text_col).alias("key")),
+        "key",
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(":", *[F.col(f"mh{b * rows + r}") for r in range(rows)]),
+                F.lit(b),
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bucketed = sig.select(
+        "__id", F.explode(F.array(*band_structs)).alias("bnd")
+    ).select("__id", "bnd.band", "bnd.bh")
+    sizes = bucketed.groupBy("band", "bh").agg(F.count("*").alias("bn"))
+    bucketed = bucketed.join(
+        sizes.where(F.col("bn") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+        "left_semi",
+    )
+    a = bucketed.select("band", "bh", F.col("__id").alias("id_a"))
+    b = bucketed.select("band", "bh", F.col("__id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "band")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Channel 3 — SimHash: per-token hash bits vote ±1, sign of each bit
+    sum forms the fingerprint. Explode → scalar hash → conditional-sum
+    aggregates (partial-agg friendly). Returns (id, simhash)."""
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
+    ).select("__id", F.shiftrightunsigned(F.xxhash64("t"), 16).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("__id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col("__id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_dup_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", bits: int = 32,
+                      max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: block on fingerprint halves (a pair within
+    hamming distance d must agree on at least one of d+1 segments —
+    pigeonhole), verify hamming distance exactly with bit_count."""
+    fps = simhash_fingerprints(docs, text_col, id_col, bits).persist()
+    segs = max_hamming + 1
+    seg_bits = bits // segs
+    seg_cols = [
+        (
+            F.shiftright(F.col("simhash"), i * seg_bits)
+            % F.lit(1 << seg_bits)
+        ).alias(f"seg{i}")
+        for i in range(segs)
+    ]
+    keyed = fps.select(id_col, "simhash", *seg_cols)
+    pairs = None
+    for i in range(segs):
+        a = keyed.select(
+            F.col(id_col).alias("id_a"),
+            F.col("simhash").alias("sh_a"),
+            F.col(f"seg{i}").alias("sk"),
+        )
+        b = keyed.select(
+            F.col(id_col).alias("id_b"),
+            F.col("simhash").alias("sh_b"),
+            F.col(f"seg{i}").alias("sk"),
+        )
+        p = a.join(b, "sk").where(F.col("id_a") < F.col("id_b")).drop("sk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    out = (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return out
+
+
+def token_jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.8) -> DataFrame:
+    """Channel 4 — exact n-gram/token Jaccard via token inverted index:
+    explode distinct tokens, self-join on token, count intersections,
+    |A∪B| = |A|+|B|-|A∩B|. Returns (id_a, id_b, jaccard)."""
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("t"),
+    )
+    sz = tok.groupBy("__id").agg(F.count("*").alias("n"))
+    a = tok.withColumnRenamed("__id", "id_a")
+    b = tok.withColumnRenamed("__id", "id_b")
+    inter = (
+        a.join(b, "t")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sz.select(F.col("__id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sz.select(F.col("__id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_dup_pairs(embeddings: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.9) -> DataFrame:
+    """Channel 5 — embedding-cosine near-dups over integer-quantized
+    vectors (exact, order-independent). Brute-force long-format join —
+    for the scale path compose with similarity.lsh_buckets first."""
+    lf = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select(
+        "__id", "pos", F.round(F.col("v") * 1000000.0).cast("long").alias("iv")
+    )
+    a = lf.select(F.col("__id").alias("id_a"), "pos", F.col("iv").alias("xa"))
+    b = lf.select(F.col("__id").alias("id_b"), "pos", F.col("iv").alias("xb"))
+    dot = (
+        a.join(b, "pos")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("double").alias("dot"))
+    )
+    nrm = lf.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("iv") * F.col("iv")).cast("double")).alias("nrm")
+    )
+    return (
+        dot.join(nrm.select(F.col("__id").alias("id_a"), F.col("nrm").alias("na")), "id_a")
+        .join(nrm.select(F.col("__id").alias("id_b"), F.col("nrm").alias("nb")), "id_b")
+        .withColumn("cos_sim", F.col("dot") / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

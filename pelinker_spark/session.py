@@ -37,6 +37,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # This engine's rows are cheap in bytes but expensive in CPU
+        # (pandas UDFs, mention explosion): byte-based task sizing starves
+        # parallelism. Keep file splits small and never let AQE coalesce
+        # below the core count.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m"
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsInBatch", "5000")
         .config("spark.sql.session.timeZone", "UTC")
