@@ -83,15 +83,16 @@ def minhash_signatures_agg(
     assert num_hashes <= len(_MH_A)
     k = F.col(key_col)
     padded = F.when(F.length(k) < n, F.rpad(k, n, "_")).otherwise(k)
+    # explode an integer sequence, then scalar substring — building the
+    # shingle array with a transform() lambda would run interpreted per
+    # element; this shape stays in whole-stage codegen
     ex = surfaces.select(
         key_col,
+        padded.alias("__p"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
-                lambda i: F.substring(padded, i, n),
-            )
-        ).alias("sh"),
-    )
+            F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1))
+        ).alias("i"),
+    ).select(key_col, F.expr(f"substr(__p, i, {n})").alias("sh"))
     h = F.shiftrightunsigned(F.xxhash64(F.col("sh")), 33)
     aggs = [
         F.min((h + F.lit(k)) * F.lit(_MH_A[k]) % F.lit(2147483647)).alias(f"mh{k}")
@@ -152,6 +153,10 @@ def lsh_candidate_pairs(
     bucketed = sig.select(
         key_col, F.explode(F.array(*band_structs)).alias("bnd")
     ).select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
+    # the bucket table feeds both the size aggregation and the semi-join
+    # probe, and later both sides of the pair self-join — without
+    # materialization the minhash lineage recomputes up to 4x
+    bucketed = bucketed.persist()
     # Hot-bucket drop: an LSH bucket larger than max_block is a stop-bucket
     # (low-information, quadratic-pair risk) and is skipped outright — a
     # hash aggregate + broadcast-able semi join, cheaper and more
@@ -163,7 +168,7 @@ def lsh_candidate_pairs(
         sizes.where(F.col("bn") <= max_block).select("band", "bh"),
         ["band", "bh"],
         "left_semi",
-    )
+    ).persist()
 
     a = bucketed.select(
         F.col("band"), F.col("bh"), F.col(key_col).alias("key_a")
@@ -197,13 +202,15 @@ def compact_key_pairs(
         F.col("ck") != F.col(key_col)
     )
     # pair each punctuated variant with every surface sharing its compact
-    # form (including the canonical un-punctuated one, if present)
+    # form (including the canonical un-punctuated one, if present).
+    # Oversized compact groups are dropped whole (stop-group discipline,
+    # same as LSH hot buckets — a hash aggregate, not a global sort).
     allk = surfaces.select(
         F.col(key_col).alias("key_b"), compact.alias("ck")
-    )
-    w = Window.partitionBy("ck").orderBy(F.xxhash64(F.col("key_b")))
-    allk = allk.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= max_block
+    ).persist()  # feeds the size aggregation and the join probe
+    sizes = allk.groupBy("ck").agg(F.count("*").alias("gn"))
+    allk = allk.join(
+        sizes.where(F.col("gn") <= max_block).select("ck"), "ck", "left_semi"
     )
     return (
         df.withColumnRenamed(key_col, "key_x")

@@ -44,9 +44,14 @@ class LinkConfig:
     lang: str | None = "en"
     windows: tuple[int, ...] = (1, 2, 3)
     lsh_num_hashes: int = 16
-    lsh_bands: int = 8
-    lsh_rows: int = 2
-    max_block: int = 50
+    lsh_bands: int = 4
+    lsh_rows: int = 4
+    max_block: int = 10
+    # LSH candidate restriction: a surface enters the fuzzy channel only if
+    # it has mention mass >= this (a singleton clean surface has nothing to
+    # merge) or carries punctuation (possible typo variant of a canonical).
+    # Set to 1 to fuzzy-match everything (slow, max recall).
+    lsh_min_mentions: int = 2
     jw_threshold: float = 0.95
     cos_threshold: float = 0.90
     seed: int = 13
@@ -84,6 +89,20 @@ def surface_table(mentions: DataFrame) -> DataFrame:
     return mentions.groupBy("wg", "key").agg(
         F.count("*").alias("n_mentions"),
         F.min("mention").alias("surface"),
+    )
+
+
+def prefilter_pairs(pairs: DataFrame) -> DataFrame:
+    """JVM pair prefilters, before any Python scoring: (1) identity-bearing
+    digit sequences must match exactly (record-linkage numeric-mismatch
+    rule — "term123"≠"term124" however close the strings); (2) JW >= 0.95
+    implies a length-difference bound of ~max/4."""
+    digits_a = F.concat_ws(",", F.regexp_extract_all(F.col("key_a"), F.lit(r"([0-9]+)"), 1))
+    digits_b = F.concat_ws(",", F.regexp_extract_all(F.col("key_b"), F.lit(r"([0-9]+)"), 1))
+    la, lb = F.length("key_a"), F.length("key_b")
+    # cheap length predicate first — short-circuits the digit regexes
+    return pairs.where(
+        (F.abs(la - lb) * 4 <= F.greatest(la, lb)) & (digits_a == digits_b)
     )
 
 
@@ -157,15 +176,23 @@ def link_pipeline(
     surfaces = stage("surfaces", lambda: surface_table(mentions), persist=True)
 
     def build_pairs():
-        return lsh_candidate_pairs(
-            surfaces,
+        linkable = surfaces
+        if cfg.lsh_min_mentions > 1:
+            linkable = surfaces.where(
+                (F.col("n_mentions") >= cfg.lsh_min_mentions)
+                | F.col("key").rlike("[^a-z0-9 ]")
+            )
+        raw = lsh_candidate_pairs(
+            linkable,
             num_hashes=cfg.lsh_num_hashes,
             bands=cfg.lsh_bands,
             rows=cfg.lsh_rows,
             max_block=cfg.max_block,
-        ).unionByName(compact_key_pairs(surfaces)).dropDuplicates(
-            ["key_a", "key_b"]
-        )
+        ).unionByName(compact_key_pairs(surfaces))
+        # prefilter BEFORE the dedup shuffle: identity-bearing digit
+        # sequences must match exactly, and JW >= 0.95 bounds the length
+        # difference to ~max/4 — both pure column predicates
+        return prefilter_pairs(raw).dropDuplicates(["key_a", "key_b"])
 
     pairs = stage("pairs", build_pairs, persist=True)
 

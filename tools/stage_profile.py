@@ -54,11 +54,25 @@ def main() -> None:
     docs, _ = tick("extract", extract_stage(pages))
     mentions, nm = tick("mentions", generate_mentions(docs, (1, 2, 3), "en"))
     surfaces, ns = tick("surfaces", surface_table(mentions))
+    from pelinker_spark.pipeline import prefilter_pairs
+
+    linkable = surfaces
+    if cfg.lsh_min_mentions > 1:
+        linkable = surfaces.where(
+            (F.col("n_mentions") >= cfg.lsh_min_mentions)
+            | F.col("key").rlike("[^a-z0-9 ]")
+        )
     pairs, np_ = tick(
         "pairs",
-        lsh_candidate_pairs(
-            surfaces, num_hashes=16, bands=8, rows=2, max_block=50
-        ).unionByName(compact_key_pairs(surfaces)).dropDuplicates(["key_a", "key_b"]),
+        prefilter_pairs(
+            lsh_candidate_pairs(
+                linkable,
+                num_hashes=cfg.lsh_num_hashes,
+                bands=cfg.lsh_bands,
+                rows=cfg.lsh_rows,
+                max_block=cfg.max_block,
+            ).unionByName(compact_key_pairs(surfaces))
+        ).dropDuplicates(["key_a", "key_b"]),
     )
     scored, _ = tick("scored", score_pairs(pairs, surfaces, cfg))
     edges, ne = tick(
