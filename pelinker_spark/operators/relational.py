@@ -912,6 +912,62 @@ FROM (
 """
 
 
+# Token counting: whitespace + BPE-ish regex (training-data pipeline op)
+def q29_token_counts(spark, sf_dir):
+    from ..chunking import BPE_ISH
+
+    d = rd(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(f"({BPE_ISH})"), 1))
+    return d.select(
+        "doc_id", ws.cast("int").alias("ws_tokens"), bpe.cast("int").alias("bpe_tokens")
+    )
+
+
+SQL_Q29 = r"""
+SELECT doc_id,
+  CAST(LEN(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+  CAST(LEN(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+FROM documents
+"""
+
+
+# A7: grid metric aggregation — mean/std/count per key with exact integer
+# accumulation (ref aggregate_grid_metrics, clustering_grid.py:507-572)
+def q30_grid_agg(spark, sf_dir):
+    ev = rd(spark, sf_dir, "events")
+    iv = F.round(F.col("value") * 100).cast("long")
+    t = ev.select("event_type", iv.alias("iv"))
+    agg = t.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("iv").alias("s"),
+        F.sum(F.col("iv") * F.col("iv")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 100.0
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return agg.select(
+        "event_type",
+        "n",
+        mean.alias("mean_value"),
+        (F.sqrt(var) / 100.0).alias("std_value"),
+    )
+
+
+SQL_Q30 = """
+SELECT event_type, n,
+  CAST(s AS DOUBLE)/n/100.0 AS mean_value,
+  SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*s/n)/(n-1))/100.0 AS std_value
+FROM (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(iv) AS s, SUM(iv*iv) AS s2
+  FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS iv FROM events) t
+  GROUP BY 1) g
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -941,6 +997,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_simhash": q26_simhash,
     "q27_embed_neardup": q27_embed_neardup,
     "q28_lang_id": q28_lang_id,
+    "q29_token_counts": q29_token_counts,
+    "q30_grid_agg": q30_grid_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -972,4 +1030,6 @@ ORACLES: dict[str, str] = {
     "q26_simhash": SQL_Q26,
     "q27_embed_neardup": SQL_Q27,
     "q28_lang_id": SQL_Q28,
+    "q29_token_counts": SQL_Q29,
+    "q30_grid_agg": SQL_Q30,
 }

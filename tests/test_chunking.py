@@ -1,0 +1,56 @@
+"""Chunking round-trip byte-identity (the reference's hard contract)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pelinker_spark.chunking import (
+    bpe_ish_token_count,
+    split_char_budget,
+    split_token_budget,
+    ws_token_count,
+)
+from pelinker_spark.synth import kb_rows, page_record
+
+
+def _texts(spark):
+    kb = kb_rows(20)
+    texts = [page_record(42, i, kb)["text"] for i in range(40)]
+    texts += ["", "one", "a  b", "x" * 300, ("word " * 200).strip()]
+    return spark.createDataFrame(pd.DataFrame({"text": texts}))
+
+
+def test_char_budget_roundtrip(spark):
+    df = _texts(spark)
+    out = df.select(
+        "text", split_char_budget(F.col("text"), 80).alias("chunks")
+    ).toPandas()
+    for _, r in out.iterrows():
+        assert "".join(r.chunks) == r.text  # byte-identical round trip
+        assert all(len(c) <= 80 for c in r.chunks)
+
+
+def test_token_budget_roundtrip(spark):
+    df = _texts(spark)
+    out = df.select(
+        "text", split_token_budget(F.col("text"), 16).alias("chunks")
+    ).toPandas()
+    for _, r in out.iterrows():
+        assert "".join(r.chunks) == r.text
+        for c in r.chunks:
+            assert len([t for t in c.split(" ") if t]) <= 16
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["hello world", "a-b c3d!  e", ""]})
+    )
+    r = df.select(
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert r[0]["ws"] == 2 and r[0]["bpe"] == 2
+    # "a-b c3d! e" -> a,-,b,c,3,d,!,e = 8 BPE-ish tokens / 3 ws tokens
+    assert r[1]["ws"] == 3 and r[1]["bpe"] == 8
+    assert r[2]["ws"] == 0 and r[2]["bpe"] == 0
