@@ -86,6 +86,59 @@ def modal_assignment(labeled: DataFrame, entity_col: str = "key",
     )
 
 
+def cluster_cosine_std(
+    labeled: DataFrame,
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embed",
+    max_rows_per_cluster: int = 200,
+) -> DataFrame:
+    """A11: per-cluster std of pairwise cosine similarity, computed on a
+    deterministic hash-capped sample per cluster (reference
+    cosine_similarity_std, clustering_grid.py:388-423, with its max_pairs
+    sampling). Bounded cluster samples → the gram matrix fits one Arrow
+    batch, so the pairwise part runs in applyInPandas per cluster."""
+    import numpy as np
+
+    from .sampling import cap_per_group
+
+    capped = cap_per_group(
+        labeled.select(cluster_col, vec_col),
+        [cluster_col],
+        max_rows_per_cluster,
+        [vec_col],
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(cluster_col, labeled.schema[cluster_col].dataType, True),
+            T.StructField("n", T.IntegerType(), False),
+            T.StructField("cos_std", T.DoubleType(), True),
+            T.StructField("cos_mean", T.DoubleType(), True),
+        ]
+    )
+
+    def per_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.vstack(pdf[vec_col].to_numpy()).astype(float)
+        n = len(x)
+        if n < 2:
+            return pd.DataFrame(
+                {cluster_col: [key[0]], "n": [n], "cos_std": [None], "cos_mean": [None]}
+            )
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        g = x @ x.T
+        iu = np.triu_indices(n, k=1)
+        sims = g[iu]
+        return pd.DataFrame(
+            {
+                cluster_col: [key[0]],
+                "n": [n],
+                "cos_std": [float(sims.std(ddof=0))],
+                "cos_mean": [float(sims.mean())],
+            }
+        )
+
+    return capped.groupBy(cluster_col).applyInPandas(per_cluster, out_schema)
+
+
 _DEDUP_SCHEMA_SUFFIX = [
     T.StructField("overlap_component", T.LongType(), True),
     T.StructField("is_best", T.BooleanType(), True),

@@ -112,3 +112,24 @@ def test_overlap_dedup(spark):
     best = out[out.is_best].mention.tolist()
     # best in overlap group: min span length then min mention -> "beta"
     assert "beta" in best and "gamma" in best and len(best) == 2
+
+
+def test_cluster_cosine_std(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    tight = rng.standard_normal(16) + 5
+    rows = []
+    for i in range(30):  # tight cluster: same direction + tiny noise
+        rows.append({"cluster_id": "tight", "embed": (tight + 0.01 * rng.standard_normal(16)).tolist()})
+    for i in range(30):  # loose cluster: random directions
+        rows.append({"cluster_id": "loose", "embed": rng.standard_normal(16).tolist()})
+    rows.append({"cluster_id": "single", "embed": tight.tolist()})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+
+    from pelinker_spark.report import cluster_cosine_std
+
+    out = {r["cluster_id"]: r for r in cluster_cosine_std(df, vec_col="embed").collect()}
+    assert out["tight"]["cos_mean"] > 0.99 and out["tight"]["cos_std"] < 0.01
+    assert out["loose"]["cos_std"] > out["tight"]["cos_std"]
+    assert out["single"]["cos_std"] is None and out["single"]["n"] == 1
