@@ -127,6 +127,7 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows: int = 3,
     max_block: int = 50,
+    registry: list | None = None,
 ) -> DataFrame:
     """Distinct-surface table → candidate pairs (key_a, key_b), key_a < key_b.
 
@@ -157,6 +158,8 @@ def lsh_candidate_pairs(
     # probe, and later both sides of the pair self-join — without
     # materialization the minhash lineage recomputes up to 4x
     bucketed = bucketed.persist()
+    if registry is not None:
+        registry.append(bucketed)
     # Hot-bucket drop: an LSH bucket larger than max_block is a stop-bucket
     # (low-information, quadratic-pair risk) and is skipped outright — a
     # hash aggregate + broadcast-able semi join, cheaper and more
@@ -169,6 +172,8 @@ def lsh_candidate_pairs(
         ["band", "bh"],
         "left_semi",
     ).persist()
+    if registry is not None:
+        registry.append(bucketed)
 
     a = bucketed.select(
         F.col("band"), F.col("bh"), F.col(key_col).alias("key_a")
@@ -190,7 +195,8 @@ def lsh_candidate_pairs(
 
 
 def compact_key_pairs(
-    surfaces: DataFrame, key_col: str = "key", max_block: int = 20
+    surfaces: DataFrame, key_col: str = "key", max_block: int = 20,
+    registry: list | None = None,
 ) -> DataFrame:
     """Deterministic third blocking channel: surfaces whose keys become
     equal after stripping intra-token punctuation ("acti-vate" ≡
@@ -208,6 +214,8 @@ def compact_key_pairs(
     allk = surfaces.select(
         F.col(key_col).alias("key_b"), compact.alias("ck")
     ).persist()  # feeds the size aggregation and the join probe
+    if registry is not None:
+        registry.append(allk)
     sizes = allk.groupBy("ck").agg(F.count("*").alias("gn"))
     allk = allk.join(
         sizes.where(F.col("gn") <= max_block).select("ck"), "ck", "left_semi"

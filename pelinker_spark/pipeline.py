@@ -67,6 +67,16 @@ class LinkResult:
     edges: DataFrame
     components: DataFrame
     clusters: DataFrame  # mention-level rows with cluster_id (+entity_id)
+    _persisted: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release every DataFrame this run cached (repeat runs in one
+        session would otherwise accumulate storage)."""
+        for df in [self.mentions, self.surfaces, self.edges, *self._persisted]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
@@ -106,7 +116,8 @@ def prefilter_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
-def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig) -> DataFrame:
+def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig,
+                registry: list | None = None) -> DataFrame:
     """Staged scoring: cheap Jaro-Winkler first (one Arrow batch pass over
     the pair table), then the encoder + cosine only for JW survivors — the
     encoder is the expensive UDF and must see as few rows as possible.
@@ -117,6 +128,8 @@ def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig) -> DataF
     # consumed three times below (two key projections + the join base);
     # without materialization the whole pair-generation lineage re-runs 3x
     jw_pass = jw_pass.persist()
+    if registry is not None:
+        registry.append(jw_pass)
 
     keys = (
         jw_pass.select(F.col("key_a").alias("key"))
@@ -175,6 +188,8 @@ def link_pipeline(
     )
     surfaces = stage("surfaces", lambda: surface_table(mentions), persist=True)
 
+    registry: list = []
+
     def build_pairs():
         linkable = surfaces
         if cfg.lsh_min_mentions > 1:
@@ -188,21 +203,29 @@ def link_pipeline(
             bands=cfg.lsh_bands,
             rows=cfg.lsh_rows,
             max_block=cfg.max_block,
-        ).unionByName(compact_key_pairs(surfaces))
+            registry=registry,
+        ).unionByName(compact_key_pairs(surfaces, registry=registry))
         # prefilter BEFORE the dedup shuffle: identity-bearing digit
         # sequences must match exactly, and JW >= 0.95 bounds the length
         # difference to ~max/4 — both pure column predicates
         return prefilter_pairs(raw).dropDuplicates(["key_a", "key_b"])
 
     pairs = stage("pairs", build_pairs, persist=True)
+    # pair generation is materialized — its internal caches can go now
+    for df in registry:
+        df.unpersist()
+    registry.clear()
 
     def build_edges():
-        scored = score_pairs(pairs, surfaces, cfg)
+        scored = score_pairs(pairs, surfaces, cfg, registry=registry)
         return scored.where(F.col("cos") >= cfg.cos_threshold).select(
             "key_a", "key_b", "jw", "cos"
         )
 
     edges = stage("edges", build_edges, persist=True)
+    for df in registry:
+        df.unpersist()
+    registry.clear()
 
     def build_components():
         comp = connected_components(edges, "key_a", "key_b")
