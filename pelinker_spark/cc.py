@@ -63,9 +63,16 @@ def connected_components(
     the lexicographically smallest member key. Deterministic: depends only
     on the edge set, never on partitioning."""
     spark = edges.sparkSession
-    n_edges = edges.count()
-    if n_edges <= driver_max_edges:
-        rows = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    # one action decides the strategy AND fetches the edges for the driver
+    # path: collect at most driver_max_edges+1 rows — if we got them all,
+    # they ARE the edge set (no separate count() pass over the lineage)
+    probe = (
+        edges.select(src, dst).limit(driver_max_edges + 1).collect()
+        if driver_max_edges > 0
+        else []
+    )
+    if driver_max_edges > 0 and len(probe) <= driver_max_edges:
+        rows = [(r[0], r[1]) for r in probe]
         pairs = _driver_union_find(rows)
         schema = T.StructType(
             [
@@ -109,6 +116,17 @@ def connected_components(
         comp = new_comp.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # Unconverged components would silently split clusters; refuse to
+        # return wrong labels (ADVICE r1). O(diameter) iterations suffice
+        # for near-dup surface graphs; a genuinely deep chain needs a
+        # larger max_iter (or star-contraction — not warranted yet).
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({n_changed} labels still changing); "
+            "raise max_iter for high-diameter graphs"
+        )
 
     sym.unpersist()
     return comp

@@ -31,19 +31,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def run_fingerprint(config: dict) -> str:
-    """sha256 of sorted-key config JSON (reference
-    model_selection_checkpoint.py:122-124)."""
+def run_fingerprint(config: dict, input_id: str | None = None) -> str:
+    """sha256 of sorted-key config JSON plus an input-identity token
+    (reference keys work units per (config, input),
+    model_selection_checkpoint.py:122-124). Without input identity,
+    resuming the same config against different pages would silently read
+    back stale stage parquet (ADVICE r1)."""
+    payload = {"config": config, "input_id": input_id}
     return hashlib.sha256(
-        json.dumps(config, sort_keys=True, default=str).encode()
+        json.dumps(payload, sort_keys=True, default=str).encode()
     ).hexdigest()[:16]
 
 
+def input_identity(df: DataFrame) -> str:
+    """Cheap, deterministic identity for a source table: scan file paths +
+    sizes when file-backed (no data pass), else the logical plan string.
+    On Iceberg this would be the snapshot id."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        token = ";".join(files)
+    else:
+        # strip per-construction expression ids (#123) so the same logical
+        # input re-built in another session fingerprints identically
+        import re
+
+        token = re.sub(
+            r"#\d+L?", "#", df._jdf.queryExecution().logical().toString()
+        )
+    return hashlib.sha256(token.encode()).hexdigest()[:16]
+
+
 class CheckpointManager:
-    def __init__(self, spark: SparkSession, root: str, config: dict):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        config: dict,
+        input_df: DataFrame | None = None,
+    ):
         self.spark = spark
         self.root = root
-        self.fingerprint = run_fingerprint(config)
+        self.fingerprint = run_fingerprint(
+            config, input_identity(input_df) if input_df is not None else None
+        )
         self.metrics_path = os.path.join(root, "_metrics")
         os.makedirs(root, exist_ok=True)
 

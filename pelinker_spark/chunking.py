@@ -41,8 +41,16 @@ def split_char_budget(text: Column, max_chars: int) -> Column:
 
     Implemented as an aggregate over chunk-count candidates: state is
     (remaining, chunks); each step cuts one chunk off the front.
+
+    Step budget: the adversarial minimum consumption is max_chars+1 chars
+    per 2 steps (a 1-char space-cut followed by a spaceless hard cut of
+    max_chars — e.g. "a " + a long URL/base64 run), so
+    ceil(2*len/(max_chars+1)) steps always reach the end; +2 for slack.
+    The finish lambda additionally appends any non-empty rest so the
+    concat(chunks) == text byte-identity contract can never be violated
+    by an undersized budget.
     """
-    n_steps = F.ceil(F.length(text) / (max_chars // 2 + 1)) + F.lit(1)
+    n_steps = F.ceil(F.length(text) * 2 / (max_chars + 1)) + F.lit(2)
     init = F.struct(
         text.alias("rest"), F.array().cast("array<string>").alias("chunks")
     )
@@ -70,7 +78,11 @@ def split_char_budget(text: Column, max_chars: int) -> Column:
         F.sequence(F.lit(1), n_steps.cast("int")),
         init,
         step,
-        lambda acc: acc["chunks"],
+        # safety net: leftover text is appended, never dropped (byte
+        # identity beats the per-chunk budget if the two ever conflict)
+        lambda acc: F.when(
+            F.length(acc["rest"]) > 0, F.concat(acc["chunks"], F.array(acc["rest"]))
+        ).otherwise(acc["chunks"]),
     )
     return agg
 

@@ -25,17 +25,19 @@ def preprocess_kb(kb: DataFrame) -> DataFrame:
 
 
 def fuzzy_label_pattern(label: str, stem_over: int = 5, gap: str = r"\s+[\w\s-]{0,9}") -> str:
-    """Build the reference's fuzzy regex for a KB label: words longer than
-    stem_over chars lose their last two chars (stemming), words are joined
-    by a bounded gap, the whole thing is word-boundary anchored
-    (pelinker/matching.py:4-23)."""
+    """Build the reference's fuzzy regex for a KB label, mirroring
+    match_pattern (pelinker/matching.py:4-23) exactly: every word is
+    prefix-anchored with \\b and suffixed with \\w*; words longer than
+    stem_over chars additionally lose their last char (suffix_length=1,
+    'induces' → 'induce'); words are joined by a bounded gap; the whole
+    pattern ends on a word boundary."""
     import re as _re
 
     pieces = []
     for w in label.split(" "):
-        stem = w[:-2] if len(w) > stem_over else w
-        pieces.append(_re.escape(stem) + (r"\w*" if len(w) > stem_over else ""))
-    return r"\b" + gap.join(pieces) + r"\b"
+        stem = w[:-1] if len(w) > stem_over else w
+        pieces.append(r"\b" + _re.escape(stem) + r"\w*")
+    return gap.join(pieces) + r"\b"
 
 
 def fuzzy_match_col(text: Column, label: str) -> Column:

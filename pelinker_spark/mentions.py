@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textnorm import blocking_key_col, norm_token_col, tokenize_col, window_is_valid_col
+from .textnorm import (
+    STOPWORDS,
+    blocking_key_col,
+    norm_token_col,
+    tokenize_col,
+    window_is_valid_col,
+)
 
 MAX_WINDOW = 3  # W1/W2/W3 — reference pelinker/onto.py:12-16
 
@@ -64,7 +70,146 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
       - a_abs,b_abs: half-open char span within the normalized document
     extra_cols are threaded through unchanged (e.g. warc_ts for streaming
     event-time windows — stream-stream joins can't re-attach them later).
+
+    Physical plan (the third iteration, measured fastest): one posexplode
+    over arrays_zip of the token array with its own 1- and 2-shifted
+    slices — window w at token i reads (toks[i..i+w)) entirely from the
+    zipped struct, so every per-token expression downstream is a *scalar*
+    (whole-stage-codegen'd). No window function (no shuffle — unlike a
+    lead() formulation) and no per-window interpreted transform() lambdas
+    (unlike the HOF formulation in generate_mentions_hof: higher-order
+    lambdas are interpreted, ~20x slower per element). The only remaining
+    interpreted aggregates are the two _starts running sums, linear per
+    sentence.
     """
+    for w in windows:
+        assert 1 <= w <= MAX_WINDOW, "windows limited to W1/W2/W3"
+    df = pages
+    if lang is not None and "lang" in df.columns:
+        df = df.where(F.col("lang") == lang)
+
+    df = df.select(
+        "url",
+        *extra_cols,
+        F.lit(0).cast("long").alias("itext"),
+        split_sentences(normalize_ws(F.col("text"))).alias("sents"),
+    )
+    # doc-global offset of each sentence (array-side running sum, no shuffle)
+    df = df.select(
+        "url",
+        *extra_cols,
+        "itext",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("sents"),
+                F.slice(_starts(F.col("sents")), 1, F.size("sents")).alias("soff"),
+            )
+        ).alias("ichunk", "z"),
+    ).select(
+        "url",
+        *extra_cols,
+        "itext",
+        F.col("ichunk").cast("long").alias("ichunk"),
+        F.col("z.sents").alias("sent"),
+        F.col("z.soff").alias("sent_off"),
+    )
+
+    toks = tokenize_col(F.col("sent"))
+    df = df.select(
+        "url", *extra_cols, "itext", "ichunk", "sent_off",
+        toks.alias("toks"),
+        _starts(toks).alias("tstarts"),  # n+1 entries
+    )
+
+    # zip toks with its own shifted slices: row i carries toks[i], toks[i+1],
+    # toks[i+2] and the window end offsets tstarts[i+1..i+3]. arrays_zip
+    # null-pads the shorter shifted arrays, which exactly marks the
+    # out-of-range windows at the sentence tail.
+    n = F.size("toks")
+    df = df.select(
+        "url", *extra_cols, "itext", "ichunk", "sent_off",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("toks").alias("t1"),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("t3"),
+                F.slice("tstarts", 1, n).alias("s0"),
+                F.slice("tstarts", 2, n).alias("e1"),
+                F.slice("tstarts", 3, F.greatest(n - 1, F.lit(0))).alias("e2"),
+                F.slice("tstarts", 4, F.greatest(n - 2, F.lit(0))).alias("e3"),
+            )
+        ).alias("pos", "z"),
+    ).select(
+        "url", *extra_cols, "itext", "ichunk", "sent_off",
+        F.col("z.t1").alias("t1"),
+        F.col("z.t2").alias("t2"),
+        F.col("z.t3").alias("t3"),
+        F.col("z.s0").cast("long").alias("a"),
+        (F.col("z.e1") - 1).cast("long").alias("b1"),
+        (F.col("z.e2") - 1).cast("long").alias("b2"),
+        (F.col("z.e3") - 1).cast("long").alias("b3"),
+    )
+    df = df.select(
+        "*",
+        norm_token_col(F.col("t1")).alias("n1"),
+        norm_token_col(F.col("t2")).alias("n2"),
+        norm_token_col(F.col("t3")).alias("n3"),
+    )
+
+    stype = "struct<wg:int,mention:string,key:string,b:bigint>"
+
+    def _w_struct(w: int) -> Column:
+        toks_w = [F.col(f"t{i}") for i in range(1, w + 1)]
+        norms_w = [F.col(f"n{i}") for i in range(1, w + 1)]
+        # keep-predicate, scalar form of window_is_valid_col: no token
+        # normalizes empty, at least one token is a non-stopword
+        no_empty = F.lit(True)
+        for nc in norms_w:
+            no_empty = no_empty & (nc != "")
+        not_all_stop = F.lit(False)
+        for nc in norms_w:
+            not_all_stop = not_all_stop | ~nc.isin(*sorted(STOPWORDS))
+        in_range = toks_w[-1].isNotNull()
+        return F.when(
+            in_range & no_empty & not_all_stop,
+            F.struct(
+                F.lit(w).alias("wg"),
+                F.concat_ws(" ", *toks_w).alias("mention"),
+                F.concat_ws(" ", *norms_w).alias("key"),
+                F.col(f"b{w}").alias("b"),
+            ),
+        ).otherwise(F.lit(None).cast(stype))
+
+    wstructs = F.filter(
+        F.array(*[_w_struct(w) for w in windows]).cast(f"array<{stype}>"),
+        lambda s: s.isNotNull(),
+    )
+    df = df.select(
+        "url", *extra_cols, "itext", "ichunk", "sent_off", "a",
+        F.explode(wstructs).alias("m"),
+    )
+    return df.select(
+        "url",
+        *extra_cols,
+        "itext",
+        "ichunk",
+        F.col("m.wg").alias("wg"),
+        F.col("m.mention").alias("mention"),
+        F.col("m.key").alias("key"),
+        "a",
+        F.col("m.b").alias("b"),
+        (F.col("sent_off") + F.col("a")).cast("long").alias("a_abs"),
+        (F.col("sent_off") + F.col("m.b")).cast("long").alias("b_abs"),
+    )
+
+
+def generate_mentions_hof(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
+                          lang: str | None = "en",
+                          extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The original higher-order-function formulation, kept as the parity
+    oracle for generate_mentions (tests assert exact frame equality).
+    Slower: the per-window transform/slice/struct lambdas are interpreted
+    per element, not codegen'd."""
     df = pages
     if lang is not None and "lang" in df.columns:
         df = df.where(F.col("lang") == lang)
@@ -149,132 +294,6 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
             F.col("m.a").alias("a"),
             F.col("m.b").alias("b"),
             (F.col("sent_off") + F.col("m.a")).cast("long").alias("a_abs"),
-            (F.col("sent_off") + F.col("m.b")).cast("long").alias("b_abs"),
-        )
-    )
-
-
-def generate_mentions_fast(
-    pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3), lang: str | None = "en"
-) -> DataFrame:
-    """Same semantics as generate_mentions, different physical plan: nested
-    higher-order-function lambdas are *interpreted* in Spark (not
-    whole-stage-codegen'd), so the per-window transform/slice/struct
-    expressions dominate at scale. This variant explodes tokens to rows
-    (GenerateExec + scalar expressions — fully codegen'd) and forms W2/W3
-    windows with lead() over (url, ichunk, pos): one shuffle on (url,
-    ichunk), everything else tight columnar code. ~5-10x faster per doc.
-    """
-    assert tuple(windows) == (1, 2, 3), "fast path is specialized to W1/W2/W3"
-    df = pages
-    if lang is not None and "lang" in df.columns:
-        df = df.where(F.col("lang") == lang)
-
-    df = df.select(
-        "url",
-        F.lit(0).cast("long").alias("itext"),
-        split_sentences(normalize_ws(F.col("text"))).alias("sents"),
-    )
-    df = df.select(
-        "url",
-        "itext",
-        F.posexplode(
-            F.arrays_zip(
-                F.col("sents"),
-                F.slice(_starts(F.col("sents")), 1, F.size("sents")).alias("soff"),
-            )
-        ).alias("ichunk", "z"),
-    ).select(
-        "url",
-        "itext",
-        F.col("ichunk").cast("long").alias("ichunk"),
-        F.col("z.sents").alias("sent"),
-        F.col("z.soff").alias("sent_off"),
-    )
-    toks = tokenize_col(F.col("sent"))
-    df = df.select(
-        "url", "itext", "ichunk", "sent_off",
-        F.posexplode(
-            F.arrays_zip(
-                toks.alias("tok"),
-                F.slice(_starts(toks), 1, F.size(toks)).alias("tstart"),
-            )
-        ).alias("pos", "t"),
-    ).select(
-        "url", "itext", "ichunk", "sent_off", "pos",
-        F.col("t.tok").alias("tok"),
-        F.col("t.tstart").alias("tstart"),
-    )
-    df = df.withColumn("normed", norm_token_col(F.col("tok"))).withColumn(
-        "tend", F.col("tstart") + F.length("tok")
-    )
-
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("url", "itext", "ichunk").orderBy("pos")
-    df = df.select(
-        "url", "itext", "ichunk", "sent_off", "tstart",
-        "tok", "normed", "tend",
-        F.lead("tok", 1).over(w).alias("tok2"),
-        F.lead("normed", 1).over(w).alias("normed2"),
-        F.lead("tend", 1).over(w).alias("tend2"),
-        F.lead("tok", 2).over(w).alias("tok3"),
-        F.lead("normed", 2).over(w).alias("normed3"),
-        F.lead("tend", 2).over(w).alias("tend3"),
-    )
-
-    stype = (
-        "array<struct<wg:int,mention:string,normed:array<string>,b:bigint>>"
-    )
-    wstructs = F.filter(
-        F.array(
-            F.struct(
-                F.lit(1).alias("wg"),
-                F.col("tok").alias("mention"),
-                F.array("normed").alias("normed"),
-                F.col("tend").cast("long").alias("b"),
-            ),
-            F.when(
-                F.col("tok2").isNotNull(),
-                F.struct(
-                    F.lit(2).alias("wg"),
-                    F.concat_ws(" ", "tok", "tok2").alias("mention"),
-                    F.array("normed", "normed2").alias("normed"),
-                    F.col("tend2").cast("long").alias("b"),
-                ),
-            ).otherwise(F.lit(None).cast(
-                "struct<wg:int,mention:string,normed:array<string>,b:bigint>"
-            )),
-            F.when(
-                F.col("tok3").isNotNull(),
-                F.struct(
-                    F.lit(3).alias("wg"),
-                    F.concat_ws(" ", "tok", "tok2", "tok3").alias("mention"),
-                    F.array("normed", "normed2", "normed3").alias("normed"),
-                    F.col("tend3").cast("long").alias("b"),
-                ),
-            ).otherwise(F.lit(None).cast(
-                "struct<wg:int,mention:string,normed:array<string>,b:bigint>"
-            )),
-        ).cast(stype),
-        lambda s: s.isNotNull(),
-    )
-    df = df.select(
-        "url", "itext", "ichunk", "sent_off", "tstart",
-        F.explode(wstructs).alias("m"),
-    )
-    return (
-        df.where(window_is_valid_col(F.col("m.normed")))
-        .select(
-            "url",
-            "itext",
-            "ichunk",
-            F.col("m.wg").alias("wg"),
-            F.col("m.mention").alias("mention"),
-            blocking_key_col(F.col("m.normed")).alias("key"),
-            F.col("tstart").cast("long").alias("a"),
-            F.col("m.b").alias("b"),
-            (F.col("sent_off") + F.col("tstart")).cast("long").alias("a_abs"),
             (F.col("sent_off") + F.col("m.b")).cast("long").alias("b_abs"),
         )
     )

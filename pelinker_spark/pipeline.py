@@ -120,36 +120,26 @@ def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig,
                 registry: list | None = None) -> DataFrame:
     """Staged scoring: cheap Jaro-Winkler first (one Arrow batch pass over
     the pair table), then the encoder + cosine only for JW survivors — the
-    encoder is the expensive UDF and must see as few rows as possible.
+    encoder is the more expensive UDF and must see as few rows as possible.
+
+    Plan shape: one NARROW pass over the pair table — JW filter, then
+    encode both keys in place and take the cosine. Zero shuffles, zero
+    joins, no multi-scan cache races (the previous distinct-keys + two-join
+    formulation scanned the JW output three times and shuffled twice; with
+    duplicate keys memoized per Arrow batch inside the encoder, in-place
+    encoding is strictly cheaper until the encoder is a real transformer —
+    at which point encode the *surface table* once and join, amortizing
+    across all pairs that share a key).
     Returns pairs with both scores, already filtered to jw >= threshold."""
     jw_pass = pairs.withColumn(
         "jw", jaro_winkler_udf(F.col("key_a"), F.col("key_b"))
     ).where(F.col("jw") >= cfg.jw_threshold)
-    # consumed three times below (two key projections + the join base);
-    # without materialization the whole pair-generation lineage re-runs 3x
-    jw_pass = jw_pass.persist()
-    if registry is not None:
-        registry.append(jw_pass)
-
-    keys = (
-        jw_pass.select(F.col("key_a").alias("key"))
-        .unionByName(jw_pass.select(F.col("key_b").alias("key")))
-        .distinct()
+    return jw_pass.withColumn(
+        "cos",
+        cosine_col(
+            encode_udf(F.col("key_a")), encode_udf(F.col("key_b"))
+        ),
     )
-    emb = keys.select("key", encode_udf(F.col("key")).alias("emb"))
-    scored = (
-        jw_pass.join(
-            emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"),
-            "key_a",
-        )
-        .join(
-            emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"),
-            "key_b",
-        )
-        .withColumn("cos", cosine_col(F.col("emb_a"), F.col("emb_b")))
-        .drop("emb_a", "emb_b")
-    )
-    return scored
 
 
 def link_pipeline(
@@ -161,7 +151,7 @@ def link_pipeline(
 ) -> LinkResult:
     cfg = cfg or LinkConfig()
     ckpt = (
-        CheckpointManager(spark, checkpoint_dir, cfg.as_dict())
+        CheckpointManager(spark, checkpoint_dir, cfg.as_dict(), input_df=pages)
         if checkpoint_dir
         else None
     )
@@ -171,14 +161,12 @@ def link_pipeline(
             return ckpt.stage(name, build)
         df = build()
         if persist:
-            # without a checkpoint dir, stage outputs that feed multiple
-            # downstream actions must be materialized once, or every action
-            # recomputes the whole upstream lineage (incl. the extract UDF).
-            # Materialize eagerly: one clean job per stage keeps AQE's
-            # runtime statistics accurate for the downstream plan instead
-            # of optimizing one enormous fused DAG blind.
+            # lazy persist: outputs consumed by more than one downstream
+            # scan are cached, but NOT eagerly counted — the pipeline runs
+            # as ONE job wave up to the edge barrier below, so Catalyst/AQE
+            # optimize the full DAG and there are no serial per-stage
+            # barriers capping strong scaling (round-1 lesson).
             df = df.persist()
-            df.count()
         return df
 
     docs = stage("extract", lambda: extract_stage(pages))
@@ -187,6 +175,14 @@ def link_pipeline(
         persist=True,
     )
     surfaces = stage("surfaces", lambda: surface_table(mentions), persist=True)
+    if not ckpt and not globals().get("_SKIP_SURFACE_BARRIER", False):
+        # barrier 1 of 2: the surface table is scanned by three independent
+        # downstream branches (LSH channel, compact-channel probe, compact-
+        # channel build); materializing it once prevents the branches from
+        # racing on a cold cache and recomputing the aggregation 3x. As a
+        # side effect the mentions cache (the surface groupBy's map side)
+        # is warmed for the final cluster-assignment join.
+        surfaces.count()
 
     registry: list = []
 
@@ -210,11 +206,7 @@ def link_pipeline(
         # difference to ~max/4 — both pure column predicates
         return prefilter_pairs(raw).dropDuplicates(["key_a", "key_b"])
 
-    pairs = stage("pairs", build_pairs, persist=True)
-    # pair generation is materialized — its internal caches can go now
-    for df in registry:
-        df.unpersist()
-    registry.clear()
+    pairs = stage("pairs", build_pairs)
 
     def build_edges():
         scored = score_pairs(pairs, surfaces, cfg, registry=registry)
@@ -223,16 +215,31 @@ def link_pipeline(
         )
 
     edges = stage("edges", build_edges, persist=True)
+    if not ckpt:
+        # the ONE eager barrier: materializing edges runs the whole
+        # extract→mentions→surfaces→pairs→score chain as a single job wave
+        # (populating every cache above), after which pair-generation
+        # internals can be released and connected_components' driver probe
+        # reads the (tiny) cached edge table instead of re-deriving lineage.
+        edges.count()
     for df in registry:
         df.unpersist()
     registry.clear()
 
+    # CC is shared by the components artifact and the cluster assignment;
+    # memoized so checkpoint-resume paths don't run it twice.
+    comp_memo: dict = {}
+
+    def get_comp() -> DataFrame:
+        if "df" not in comp_memo:
+            comp_memo["df"] = connected_components(edges, "key_a", "key_b")
+        return comp_memo["df"]
+
     def build_components():
-        comp = connected_components(edges, "key_a", "key_b")
         # singletons (surfaces with no qualifying edge) are their own id
         return (
             surfaces.select("key")
-            .join(comp, "key", "left")
+            .join(get_comp(), "key", "left")
             .select(
                 "key",
                 F.coalesce(F.col("component"), F.col("key")).alias("component"),
@@ -242,16 +249,38 @@ def link_pipeline(
     components = stage("components", build_components)
 
     def build_clusters():
-        m = mentions.join(components, "key")
+        # mentions already carry the blocking key, so cluster assignment is
+        # a single join against the (small: only keys that appear in edges)
+        # component map + coalesce for singletons — NOT a join against the
+        # full |surfaces| table. AQE picks broadcast when comp fits; at
+        # 10^12 docs it degrades gracefully to a shuffle join on key.
+        comp = get_comp()
+        m = (
+            mentions.join(comp, "key", "left")
+            .withColumn(
+                "cluster_id", F.coalesce(F.col("component"), F.col("key"))
+            )
+            .drop("component")
+        )
         if kb is not None:
             kbk = kb_blocking_keys(kb)
+            # anchor components to KB entities from the KB side (small):
+            # map each KB key through the component map (singleton keys are
+            # their own component), then take the min entity per component.
             anchor = (
-                components.join(F.broadcast(kbk.select("key", "entity_id")), "key")
-                .groupBy("component")
+                kbk.select("key", "entity_id")
+                .join(comp, "key", "left")
+                .select(
+                    F.coalesce(F.col("component"), F.col("key")).alias(
+                        "cluster_id"
+                    ),
+                    "entity_id",
+                )
+                .groupBy("cluster_id")
                 .agg(F.min("entity_id").alias("kb_entity_id"))
             )
-            m = m.join(F.broadcast(anchor), "component", "left")
-        return m.withColumnRenamed("component", "cluster_id")
+            m = m.join(F.broadcast(anchor), "cluster_id", "left")
+        return m
 
     clusters = stage("clusters", build_clusters)
 

@@ -49,7 +49,7 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsInBatch", "5000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

@@ -31,6 +31,26 @@ def test_char_budget_roundtrip(spark):
         assert all(len(c) <= 80 for c in r.chunks)
 
 
+def test_char_budget_adversarial_tail(spark):
+    """Regression (ADVICE r1): a short token followed by long spaceless
+    runs (URLs / base64 on web text) used to exhaust the aggregate's step
+    budget and silently drop the tail, violating byte identity. Worst-case
+    consumption is max_chars+1 chars per 2 steps ("a " + hard cut)."""
+    texts = [
+        ("a " + "x" * 78) * 70,          # alternating worst case, ~5.6k chars
+        "a " + "y" * 10603,               # 10605 chars, the reported repro
+        ("b " + "z" * 79 + " ") * 50,
+        "w" * 4001,
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    out = df.select(
+        "text", split_char_budget(F.col("text"), 80).alias("chunks")
+    ).toPandas()
+    for _, r in out.iterrows():
+        assert "".join(r.chunks) == r.text
+        assert all(len(c) <= 80 for c in r.chunks)
+
+
 def test_token_budget_roundtrip(spark):
     df = _texts(spark)
     out = df.select(
