@@ -71,3 +71,117 @@ def override_join(
         .withColumn(col, F.coalesce(F.col("__fit"), F.col(col)))
         .drop("__fit")
     )
+
+
+# ------------------------------------------------- F14: label simplicity
+SIMPLICITY_STOPWORDS = ("is", "of", "the", "a", "an", "to", "for", "or", "in", "has")
+
+
+def label_simplicity_py(
+    label: str,
+    word_frequencies: dict[str, float],
+    zero_freq_penalty: float = 1e-8,
+    multiword_penalty: float = 0.2,
+    stopword_penalty: float = 0.3,
+) -> dict:
+    """Pure-Python mirror of the reference _measure_label_simplicity
+    (pelinker/analysis.py:94-159): harmonic mean of content-word corpus
+    frequencies, multiplicative penalties for multi-word labels and
+    stopword content. Used as the parity oracle for label_simplicity()."""
+    text = label.strip().lower()
+    if not text:
+        return {"char_count": 0, "word_count": 0, "simplicity_score": 0.0}
+    words = text.split()
+    word_count = len(words)
+    content = [w for w in words if w not in SIMPLICITY_STOPWORDS]
+    stop_count = word_count - len(content)
+    if not content:
+        return {
+            "char_count": len(text),
+            "word_count": word_count,
+            "simplicity_score": zero_freq_penalty,
+        }
+    freqs = [word_frequencies.get(w, zero_freq_penalty) for w in content]
+    hmean = len(freqs) / sum(1.0 / max(f, zero_freq_penalty) for f in freqs)
+    penalty = 1.0
+    if word_count > 1:
+        penalty *= max(0.0, 1.0 - multiword_penalty * (word_count - 1))
+    if stop_count > 0 and word_count > 1:
+        penalty *= max(0.0, 1.0 - stopword_penalty * stop_count)
+    return {
+        "char_count": len(text),
+        "word_count": word_count,
+        "simplicity_score": hmean * penalty,
+    }
+
+
+def label_simplicity(
+    kb: DataFrame,
+    freq: DataFrame,
+    label_col: str = "label",
+    zero_freq_penalty: float = 1e-8,
+    multiword_penalty: float = 0.2,
+    stopword_penalty: float = 0.3,
+) -> DataFrame:
+    """F14 as distributed column algebra: word frequencies come from a
+    TABLE `freq(word, freq)` (at corpus scale frequencies are themselves
+    an aggregation output, not a driver literal) joined broadcast onto the
+    exploded label words; the harmonic mean and penalties are one groupBy
+    back onto the label row. Adds char_count, word_count,
+    simplicity_score to the kb frame."""
+    base = kb.withColumn("__text", F.lower(F.trim(F.col(label_col))))
+    words = base.select(
+        label_col,
+        "__text",
+        F.posexplode(
+            F.filter(F.split(F.col("__text"), r"\s+"), lambda w: w != "")
+        ).alias("__pos", "__w"),
+    )
+    is_stop = F.col("__w").isin(*SIMPLICITY_STOPWORDS)
+    joined = words.join(
+        F.broadcast(freq.select(F.col("word").alias("__w"), "freq")),
+        "__w",
+        "left",
+    )
+    eff = F.greatest(
+        F.coalesce(F.col("freq"), F.lit(zero_freq_penalty)),
+        F.lit(zero_freq_penalty),
+    )
+    per_label = joined.groupBy(label_col, "__text").agg(
+        F.count("*").alias("word_count"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).alias("stop_count"),
+        F.sum(F.when(~is_stop, 1.0 / eff)).alias("inv_sum"),
+        F.sum(F.when(~is_stop, 1).otherwise(0)).alias("content_count"),
+    )
+    penalty = F.when(
+        F.col("word_count") > 1,
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.lit(multiword_penalty) * (F.col("word_count") - 1),
+        )
+        * F.when(
+            F.col("stop_count") > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.lit(stopword_penalty) * F.col("stop_count"),
+            ),
+        ).otherwise(F.lit(1.0)),
+    ).otherwise(F.lit(1.0))
+    score = F.when(
+        F.col("content_count") == 0, F.lit(zero_freq_penalty)
+    ).otherwise(F.col("content_count") / F.col("inv_sum") * penalty)
+    scored = per_label.select(
+        label_col,
+        F.length("__text").alias("char_count"),
+        "word_count",
+        score.alias("simplicity_score"),
+    )
+    # empty/whitespace labels never reach the explode — re-attach as zeros
+    return kb.join(scored, label_col, "left").select(
+        *kb.columns,
+        F.coalesce(F.col("char_count"), F.lit(0)).alias("char_count"),
+        F.coalesce(F.col("word_count"), F.lit(0)).alias("word_count"),
+        F.coalesce(F.col("simplicity_score"), F.lit(0.0)).alias(
+            "simplicity_score"
+        ),
+    )

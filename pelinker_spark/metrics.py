@@ -57,3 +57,95 @@ def pairwise_prf(
         "pred_pairs": pred_sz,
         "gold_pairs": gold_sz,
     }
+
+
+def adjusted_rand_index(
+    labeled: DataFrame,
+    pred_col: str = "cluster_id",
+    gold_col: str = "entity_id",
+) -> float:
+    """Distributed ARI via contingency counting — linear in distinct
+    (pred, gold) cells, never materializes pairs (reference
+    compute_adjusted_rand_index, analysis.py:162-185, re-expressed for
+    10^12 rows). ARI = (sum_ij C(n_ij,2) - E) / (M - E) with
+    E = sum_i C(a_i,2) * sum_j C(b_j,2) / C(n,2) and
+    M = (sum_i C(a_i,2) + sum_j C(b_j,2)) / 2."""
+    cell = labeled.groupBy(pred_col, gold_col).agg(F.count("*").alias("n"))
+    cell = cell.persist()
+    row = cell.agg(
+        F.sum(_c2(F.col("n"))).alias("tp"),
+        F.sum("n").alias("n_total"),
+    ).collect()[0]
+    tp, n_total = row["tp"] or 0.0, row["n_total"] or 0
+    a = (
+        cell.groupBy(pred_col).agg(F.sum("n").alias("n"))
+        .agg(F.sum(_c2(F.col("n"))))
+        .collect()[0][0]
+        or 0.0
+    )
+    b = (
+        cell.groupBy(gold_col).agg(F.sum("n").alias("n"))
+        .agg(F.sum(_c2(F.col("n"))))
+        .collect()[0][0]
+        or 0.0
+    )
+    cell.unpersist()
+    if n_total < 2:
+        return 0.0
+    total_pairs = n_total * (n_total - 1) / 2.0
+    expected = a * b / total_pairs
+    max_index = (a + b) / 2.0
+    denom = max_index - expected
+    if denom == 0:
+        return 1.0 if tp == expected else 0.0
+    return float((tp - expected) / denom)
+
+
+def span_accuracy(
+    mentions: DataFrame,
+    pages: DataFrame,
+    gold: DataFrame,
+) -> dict[str, float]:
+    """Ground-truth char-span hit accuracy (reference README.md:33-39,
+    data/ground_truth sample shape {itext, a, b, entity_id}): a gold
+    mention (url, gold_key, surface) is HIT when the pipeline produced a
+    mention row on that url with the same blocking key whose mention text
+    equals the surface AND whose (a_abs, b_abs) span slices the
+    whitespace-normalized document to exactly that text — span exactness
+    end-to-end, not just cluster membership. Gold rows whose key
+    normalizes empty are excluded (no blocking-key regime to evaluate)."""
+    from .mentions import normalize_ws
+
+    norm = pages.select("url", normalize_ws(F.col("text")).alias("__t"))
+    m = (
+        mentions.join(norm, "url")
+        .select(
+            "url",
+            "key",
+            "mention",
+            (
+                F.col("__t").substr(
+                    (F.col("a_abs") + 1).cast("int"),
+                    (F.col("b_abs") - F.col("a_abs")).cast("int"),
+                )
+                == F.col("mention")
+            ).alias("span_ok"),
+        )
+        .where(F.col("span_ok"))
+    )
+    g = (
+        gold.where(F.col("gold_key").isNotNull())
+        .select("url", F.col("gold_key").alias("key"), "surface")
+        .dropDuplicates(["url", "key", "surface"])
+    )
+    n_gold = g.count()
+    n_hit = g.join(
+        m,
+        (g.url == m.url) & (g.key == m.key) & (g.surface == m.mention),
+        "left_semi",
+    ).count()
+    return {
+        "n_gold": float(n_gold),
+        "n_hit": float(n_hit),
+        "accuracy": (n_hit / n_gold) if n_gold else 1.0,
+    }

@@ -590,21 +590,19 @@ FROM documents GROUP BY lang
 
 
 # Text quality scoring (stopword ratio + bounded length score)
-_STOPS = ["the", "a", "of", "and", "to", "in"]
+from ..textquality import QUALITY_STOPS as _STOPS  # noqa: E402 — single source
 
 
 def q20_doc_quality(spark, sf_dir):
+    from ..textquality import quality_score_cols
+
     d = rd(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    n_tokens = F.size(toks).cast("int")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPS))).cast("int")
-    stop_ratio = n_stop * F.lit(1.0) / n_tokens
-    quality = (1 - stop_ratio) * F.least(n_tokens, F.lit(100)) / F.lit(100.0)
+    q = quality_score_cols(F.col("text"))
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(quality, 6).alias("quality"),
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(q["quality"], 6).alias("quality"),
     )
 
 
@@ -857,38 +855,20 @@ WHERE dot/(na.nrm*nb.nrm) >= 0.25
 
 
 # Language-ID n-gram/stopword heuristic (text-analysis channel)
-_LANG_STOPS = {
-    "en": ["the", "and", "of", "to", "in", "is"],
-    "de": ["der", "die", "und", "das", "ist", "ein"],
-    "fr": ["le", "la", "et", "les", "des", "est"],
-}
+from ..textquality import LANG_STOPS as _LANG_STOPS  # noqa: E402 — single source
 
 
 def q28_lang_id(spark, sf_dir):
+    from ..textquality import lang_id_cols
+
     d = rd(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-
-    def _hit_filter(stops):
-        def fn(t):  # unary — extra params would bind to the element index
-            return t.isin(*stops)
-
-        return fn
-
-    hits = {
-        lg: F.size(F.filter(toks, _hit_filter(stops))).cast("int")
-        for lg, stops in _LANG_STOPS.items()
-    }
-    pred = (
-        F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), "en")
-        .when(hits["de"] >= hits["fr"], "de")
-        .otherwise("fr")
-    )
+    c = lang_id_cols(F.col("text"))
     return d.select(
         "doc_id",
-        hits["en"].alias("hits_en"),
-        hits["de"].alias("hits_de"),
-        hits["fr"].alias("hits_fr"),
-        pred.alias("predicted_lang"),
+        c["hits_en"].alias("hits_en"),
+        c["hits_de"].alias("hits_de"),
+        c["hits_fr"].alias("hits_fr"),
+        c["predicted_lang"].alias("predicted_lang"),
     )
 
 
@@ -968,6 +948,212 @@ FROM (
 """
 
 
+
+# J2/J3: multi-source embedding fusion — per-source element-wise means,
+# entity intersection, ordered concat (ref embedding_fusion.py:189-233,
+# :425-469; package operator pelinker_spark/fusion.py). Long-format output
+# with integer micro-unit quantization for cross-engine exactness: the
+# mean of exact integer sums is one IEEE division — deterministic in both
+# engines, no rounding of float products.
+def q31_fused_centroids(spark, sf_dir):
+    em = rd(spark, sf_dir, "embeddings")
+    lf = em.select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("int").alias("s"),
+        F.size("embedding").alias("dim"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "label", "s", "dim", "pos",
+        F.round(F.col("v").cast("double") * 1000000.0).cast("long").alias("iv"),
+    )
+    cent = lf.groupBy("label", "s", "dim", "pos").agg(
+        (F.sum("iv").cast("double") / F.count("*")).alias("cv")
+    )
+    a = cent.where(F.col("s") == 0)
+    b = cent.where(F.col("s") == 1)
+    both = a.select("label").distinct().join(b.select("label").distinct(), "label")
+    fused = (
+        a.select("label", F.col("pos").alias("fpos"), "cv")
+        .unionByName(b.select("label", (F.col("pos") + F.col("dim")).alias("fpos"), "cv"))
+        .join(both, "label")
+    )
+    return fused.select("label", "fpos", F.col("cv").alias("fused_v_micro"))
+
+
+SQL_Q31 = """
+WITH lf AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS s, LEN(embedding) AS dim,
+         CAST(generate_subscripts(embedding,1)-1 AS INT) AS pos,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS iv
+  FROM embeddings),
+cent AS (
+  SELECT label, s, dim, pos, CAST(SUM(iv) AS DOUBLE)/COUNT(*) AS cv
+  FROM lf GROUP BY 1,2,3,4),
+lbl_both AS (
+  SELECT DISTINCT a.label FROM cent a JOIN cent b ON a.label = b.label
+  WHERE a.s = 0 AND b.s = 1)
+SELECT c.label, CASE WHEN s = 0 THEN pos ELSE pos + dim END AS fpos,
+       cv AS fused_v_micro
+FROM cent c JOIN lbl_both USING (label)
+"""
+
+
+# A10: CV fold pooling — per-fold metric rows pooled to mean/std/count per
+# group (ref analysis.py:600-618; package operator
+# pelinker_spark/gridsearch.py pool_cv_folds)
+def q32_fold_pooling(spark, sf_dir):
+    from ..gridsearch import pool_cv_folds
+
+    ev = rd(spark, sf_dir, "events")
+    per_fold = ev.groupBy(
+        "event_type", F.pmod(F.col("event_id"), F.lit(3)).cast("int").alias("fold")
+    ).agg(
+        (_dsum(F.col("value")) / F.count("*")).alias("m")
+    )
+    pooled = pool_cv_folds(per_fold, ["event_type"], ["m"])
+    return pooled.select(
+        "event_type",
+        F.round("m_mean", 6).alias("m_mean"),
+        F.round("m_std", 6).alias("m_std"),
+        F.col("m_count").alias("m_count"),
+    )
+
+
+SQL_Q32 = """
+WITH per_fold AS (
+  SELECT event_type, CAST(event_id % 3 AS INT) AS fold,
+    CAST(SUM(CAST(ROUND(value,2) AS DECIMAL(28,2))) AS DOUBLE)/COUNT(*) AS m
+  FROM events GROUP BY 1,2)
+SELECT event_type, ROUND(AVG(m),6) AS m_mean,
+  ROUND(COALESCE(STDDEV_SAMP(m),0.0),6) AS m_std,
+  COUNT(m) AS m_count
+FROM per_fold GROUP BY 1
+"""
+
+
+# F14: label simplicity score over a corpus-derived word-frequency table
+# (ref analysis.py:94-159; package operator pelinker_spark/kb.py
+# label_simplicity). Frequencies are exact ratios of integer counts; the
+# harmonic-mean denominator sums integer-quantized addends so both engines
+# add the same exact values.
+def q33_label_simplicity(spark, sf_dir):
+    from ..kb import SIMPLICITY_STOPWORDS
+
+    p = rd(spark, sf_dir, "part")
+    labels = p.select(F.col("p_name").alias("label")).distinct()
+    words = labels.select(
+        "label", F.explode(F.split(F.col("label"), " ")).alias("w")
+    )
+    tot = words.count()
+    freq = words.groupBy("w").agg(F.count("*").alias("c"))
+    j = words.join(freq, "w")
+    is_stop = F.col("w").isin(*SIMPLICITY_STOPWORDS)
+    inv = F.round(F.lit(1000000.0) * F.lit(tot) / F.col("c")).cast("long")
+    per = j.groupBy("label").agg(
+        F.count("*").alias("word_count"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).alias("stop_count"),
+        F.sum(F.when(~is_stop, inv)).alias("inv_sum"),
+        F.sum(F.when(~is_stop, 1).otherwise(0)).alias("content_count"),
+    )
+    penalty = F.when(
+        F.col("word_count") > 1,
+        F.greatest(F.lit(0.0), 1.0 - 0.2 * (F.col("word_count") - 1))
+        * F.when(
+            F.col("stop_count") > 0,
+            F.greatest(F.lit(0.0), 1.0 - 0.3 * F.col("stop_count")),
+        ).otherwise(1.0),
+    ).otherwise(1.0)
+    score = F.when(F.col("content_count") == 0, 1e-8).otherwise(
+        F.col("content_count") * F.lit(1000000.0)
+        / F.col("inv_sum").cast("double")
+        * penalty
+    )
+    return per.select(
+        "label", "word_count",
+        F.round(score, 9).alias("simplicity_score"),
+    )
+
+
+SQL_Q33 = """
+WITH labels AS (SELECT DISTINCT p_name AS label FROM part),
+words AS (
+  SELECT label, unnest(string_split(label, ' ')) AS w FROM labels),
+tot AS (SELECT COUNT(*) AS t FROM words),
+freq AS (SELECT w, COUNT(*) AS c FROM words GROUP BY 1),
+per AS (
+  SELECT label, COUNT(*) AS word_count,
+    SUM(CASE WHEN w IN ('is','of','the','a','an','to','for','or','in','has')
+        THEN 1 ELSE 0 END) AS stop_count,
+    SUM(CASE WHEN w NOT IN ('is','of','the','a','an','to','for','or','in','has')
+        THEN CAST(ROUND(1000000.0 * t / c) AS BIGINT) END) AS inv_sum,
+    SUM(CASE WHEN w NOT IN ('is','of','the','a','an','to','for','or','in','has')
+        THEN 1 ELSE 0 END) AS content_count
+  FROM words JOIN freq USING (w) CROSS JOIN tot
+  GROUP BY label)
+SELECT label, word_count,
+  ROUND(CASE WHEN content_count = 0 THEN 1e-8
+    ELSE content_count * 1000000.0 / CAST(inv_sum AS DOUBLE)
+      * (CASE WHEN word_count > 1
+          THEN GREATEST(0.0, 1.0 - 0.2*(word_count-1))
+            * (CASE WHEN stop_count > 0
+               THEN GREATEST(0.0, 1.0 - 0.3*stop_count) ELSE 1.0 END)
+          ELSE 1.0 END)
+    END, 9) AS simplicity_score
+FROM per
+"""
+
+
+# M10 aggregation: cross-sample grid metric pooling with dispersion
+# (ref clustering_grid.py:507-560; package operator
+# pelinker_spark/gridsearch.py aggregate_grid_metrics)
+def q34_grid_aggregate(spark, sf_dir):
+    from ..gridsearch import aggregate_grid_metrics
+
+    ev = rd(spark, sf_dir, "events")
+    metrics = ev.select(
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("threshold"),
+        F.round(F.col("value"), 2).alias("dbcv"),
+        (F.pmod(F.col("user_id"), F.lit(7)).cast("double")).alias("ari"),
+        # /4 is exact power-of-2 scaling of the stored double — no
+        # rounding of a quotient (engine-dependent at .5 boundaries)
+        (F.col("value") / 4).alias("icm"),
+        F.pmod(F.col("user_id"), F.lit(50)).cast("double").alias("n_clusters"),
+    )
+    agg = aggregate_grid_metrics(metrics, x_col="threshold")
+    return agg.select(
+        "threshold",
+        F.round("dbcv_mean", 6).alias("dbcv_mean"),
+        F.round("dbcv_std", 6).alias("dbcv_std"),
+        "dbcv_count",
+        F.round("icm_mean", 6).alias("icm_mean"),
+        F.round("n_clusters_mean", 6).alias("n_clusters_mean"),
+        F.round("ari_mean", 6).alias("ari_mean"),
+        F.round("ari_std", 6).alias("ari_std"),
+        "ari_count",
+    )
+
+
+SQL_Q34 = """
+WITH metrics AS (
+  SELECT CAST(event_id % 5 AS INT) AS threshold,
+    ROUND(value, 2) AS dbcv,
+    CAST(user_id % 7 AS DOUBLE) AS ari,
+    value / 4 AS icm,
+    CAST(user_id % 50 AS DOUBLE) AS n_clusters
+  FROM events)
+SELECT threshold,
+  ROUND(AVG(dbcv),6) AS dbcv_mean,
+  ROUND(COALESCE(STDDEV_SAMP(dbcv),0.0),6) AS dbcv_std,
+  COUNT(dbcv) AS dbcv_count,
+  ROUND(AVG(icm),6) AS icm_mean,
+  ROUND(AVG(n_clusters),6) AS n_clusters_mean,
+  ROUND(AVG(ari),6) AS ari_mean,
+  ROUND(COALESCE(STDDEV_SAMP(ari),0.0),6) AS ari_std,
+  COUNT(ari) AS ari_count
+FROM metrics GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -999,6 +1185,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_lang_id": q28_lang_id,
     "q29_token_counts": q29_token_counts,
     "q30_grid_agg": q30_grid_agg,
+    "q31_fused_centroids": q31_fused_centroids,
+    "q32_fold_pooling": q32_fold_pooling,
+    "q33_label_simplicity": q33_label_simplicity,
+    "q34_grid_aggregate": q34_grid_aggregate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1032,4 +1222,8 @@ ORACLES: dict[str, str] = {
     "q28_lang_id": SQL_Q28,
     "q29_token_counts": SQL_Q29,
     "q30_grid_agg": SQL_Q30,
+    "q31_fused_centroids": SQL_Q31,
+    "q32_fold_pooling": SQL_Q32,
+    "q33_label_simplicity": SQL_Q33,
+    "q34_grid_aggregate": SQL_Q34,
 }

@@ -1,0 +1,220 @@
+"""Fusion join operators (J2/J3), F14 label simplicity, dedup channel
+caps, ground-truth span accuracy, and the model-selection runner."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pelinker_spark.dedup import (
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    simhash_dup_pairs,
+    token_jaccard_pairs,
+)
+from pelinker_spark.fusion import dedupe_mean_embed, fuse_entity_vectors, fuse_mention_frames
+from pelinker_spark.kb import label_simplicity, label_simplicity_py
+from pelinker_spark.metrics import adjusted_rand_index, span_accuracy
+
+
+def test_dedupe_mean_embed(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "url": ["u1", "u1", "u2"],
+        "entity": ["E1", "E1", "E2"],
+        "mention": ["foo", "foo", "bar"],
+        "embed": [[1.0, 0.0], [0.0, 1.0], [2.0, 2.0]],
+        "prov": ["a", None, "b"],
+    }))
+    out = dedupe_mean_embed(df, provenance=("prov",)).toPandas()
+    out = out.sort_values("url").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "embed"] == pytest.approx([0.5, 0.5])
+    assert out.loc[0, "prov"] == "a"  # first non-null per group
+    assert out.loc[1, "embed"] == pytest.approx([2.0, 2.0])
+
+
+def test_fuse_mention_frames_inner_join_and_concat(spark):
+    """Mirrors reference test_embedding_fusion: dedupe-before-join, inner
+    key intersection, concat in source order."""
+    s1 = spark.createDataFrame(pd.DataFrame({
+        "url": ["u1", "u1", "u2"],
+        "entity": ["E1", "E1", "E2"],
+        "mention": ["foo", "foo", "bar"],
+        "embed": [[1.0, 0.0], [0.0, 1.0], [3.0, 3.0]],
+    }))
+    s2 = spark.createDataFrame(pd.DataFrame({
+        "url": ["u1", "u3"],
+        "entity": ["E1", "E9"],
+        "mention": ["foo", "zap"],
+        "embed": [[9.0], [7.0]],
+    }))
+    out = fuse_mention_frames([s1, s2]).toPandas()
+    assert len(out) == 1  # intersection of keys only
+    assert out.loc[0, "url"] == "u1"
+    assert out.loc[0, "embed"] == pytest.approx([0.5, 0.5, 9.0])  # s1 mean ++ s2
+    # single source: dedupe only, no concat
+    one = fuse_mention_frames([s1]).toPandas().sort_values("url")
+    assert len(one) == 2
+    # entity-level fusion intersects entities
+    e = fuse_entity_vectors([
+        s1.select("entity", "embed"), s2.select("entity", "embed")
+    ]).toPandas()
+    assert list(e.entity) == ["E1"]
+    assert e.loc[0, "embed"] == pytest.approx([0.5, 0.5, 9.0])
+
+
+def test_label_simplicity_parity_and_goldens(spark):
+    freqs = {"kinase": 0.004, "activity": 0.01, "protein": 0.02}
+    cases = ["kinase", "protein kinase activity", "the of", "", "  ",
+             "kinase of protein", "unknownword", "The Kinase"]
+    freq_df = spark.createDataFrame(
+        pd.DataFrame({"word": list(freqs), "freq": list(freqs.values())})
+    )
+    kb = spark.createDataFrame(pd.DataFrame({"label": cases}))
+    got = {
+        r["label"]: r
+        for r in label_simplicity(kb, freq_df).collect()
+    }
+    for label in cases:
+        exp = label_simplicity_py(label, freqs)
+        g = got[label]
+        assert g["char_count"] == exp["char_count"], label
+        assert g["word_count"] == exp["word_count"], label
+        assert g["simplicity_score"] == pytest.approx(
+            exp["simplicity_score"], rel=1e-9
+        ), label
+    # hand-derived golden: single known word = its frequency, no penalty
+    assert got["kinase"]["simplicity_score"] == pytest.approx(0.004)
+    # 3 content words, multiword penalty 1-0.2*2 = 0.6, harmonic mean
+    hm = 3 / (1 / 0.02 + 1 / 0.004 + 1 / 0.01)
+    assert got["protein kinase activity"]["simplicity_score"] == pytest.approx(hm * 0.6)
+    # all-stopword label gets the zero-frequency floor
+    assert got["the of"]["simplicity_score"] == pytest.approx(1e-8)
+
+
+def test_token_jaccard_df_cap(spark):
+    # benign corpus: cap changes nothing
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha beta gamma", "alpha beta gamma delta", "zeta eta theta"],
+    }))
+    uncapped = token_jaccard_pairs(docs, threshold=0.5, max_df=None).toPandas()
+    capped = token_jaccard_pairs(docs, threshold=0.5, max_df=10).toPandas()
+    assert uncapped.sort_values(["id_a", "id_b"]).values.tolist() == \
+        capped.sort_values(["id_a", "id_b"]).values.tolist()
+
+    # skewed corpus: one token in every doc; cap bounds the candidates
+    n = 60
+    skew = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(n),
+        "text": [f"common uniq{i}a uniq{i}b" for i in range(n)],
+    }))
+    pairs = token_jaccard_pairs(skew, threshold=0.01, max_df=n - 1)
+    # without the cap every pair shares "common": C(60,2)=1770 candidates;
+    # with it, no pair survives (no other shared tokens)
+    assert pairs.count() == 0
+
+
+def test_simhash_stop_segment_cap(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aa bb cc dd ee", "aa bb cc dd ff", "zz yy xx ww vv", "qq rr ss tt uu"],
+    }))
+    full = simhash_dup_pairs(docs, max_hamming=16).toPandas()
+    capped = simhash_dup_pairs(docs, max_hamming=16, max_segment=100).toPandas()
+    assert full.sort_values(["id_a", "id_b"]).values.tolist() == \
+        capped.sort_values(["id_a", "id_b"]).values.tolist()
+    # degenerate: a hot segment (max_segment=1) suppresses candidates
+    assert simhash_dup_pairs(docs, max_hamming=16, max_segment=0).count() == 0
+
+
+def test_embedding_dup_lsh_matches_bruteforce(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.standard_normal(8) * 0.02  # near-dup twin
+        rows.append((i * 2 + 1, (w / np.linalg.norm(w)).tolist()))
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    exact = embedding_dup_pairs(emb, threshold=0.99).toPandas()
+    lsh = embedding_dup_pairs_lsh(emb, dim=8, threshold=0.99, n_planes=4,
+                                  n_tables=6).toPandas()
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    lsh_pairs = set(zip(lsh.id_a, lsh.id_b))
+    # every LSH pair is exact-verified (no false positives)
+    assert lsh_pairs <= exact_pairs
+    # multi-table recall on planted twins
+    assert len(lsh_pairs) >= 0.8 * len(exact_pairs)
+    # cosine values agree with the brute-force channel on shared pairs
+    e = exact.set_index(["id_a", "id_b"]).cos_sim
+    for (a, b), c in lsh.set_index(["id_a", "id_b"]).cos_sim.items():
+        assert c == pytest.approx(e.loc[(a, b)], abs=1e-9)
+
+
+def test_adjusted_rand_index(spark):
+    labeled = spark.createDataFrame(pd.DataFrame({
+        "cluster_id": ["c1", "c1", "c2", "c2", "c3"],
+        "entity_id":  ["E1", "E1", "E2", "E2", "E3"],
+    }))
+    assert adjusted_rand_index(labeled) == pytest.approx(1.0)
+    # reference-style golden vs sklearn formula, hand-computed:
+    # clusters {1,1,2}, {2}, gold {1,2},{1,2}
+    labeled2 = spark.createDataFrame(pd.DataFrame({
+        "cluster_id": ["a", "a", "a", "b"],
+        "entity_id":  ["x", "x", "y", "y"],
+    }))
+    # cells: (a,x)=2 (a,y)=1 (b,y)=1 -> tp=1; a_pairs=C(3,2)=3+0=3, b
+    # gold sizes x=2,y=2 -> 1+1=2; n=4, total=6
+    # expected=3*2/6=1, max=(3+2)/2=2.5, ari=(1-1)/(2.5-1)=0
+    assert adjusted_rand_index(labeled2) == pytest.approx(0.0)
+
+
+def test_span_accuracy_and_model_selection(spark, tmp_path):
+    from pelinker_spark.model_selection import model_selection_run
+    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+    from pelinker_spark.synth import gold_mentions, web_pages
+
+    n_pages, n_entities = 300, 30
+    pages = web_pages(spark, n_pages, seed=11, n_entities=n_entities, partitions=8)
+    pages = pages.persist()
+    gold = gold_mentions(spark, n_pages, seed=11, n_entities=n_entities)
+    gold_en = gold.join(
+        pages.where(F.col("lang") == "en").select("url"), "url"
+    ).persist()
+
+    # --- ground-truth span harness over the flagship mentions
+    res = link_pipeline(spark, pages, cfg=LinkConfig())
+    acc = span_accuracy(res.mentions, pages.where(F.col("lang") == "en"), gold_en)
+    assert acc["n_gold"] > 50
+    assert acc["accuracy"] >= 0.99, acc
+    res.unpersist()
+
+    # --- model-selection lifecycle: 2 configs x 2 draws, checkpointed
+    configs = [
+        {"cos_threshold": 0.90},
+        {"cos_threshold": 0.999, "jw_threshold": 0.999},  # degraded recall
+    ]
+    out = model_selection_run(
+        spark, pages, gold_en, configs, str(tmp_path / "msel"),
+        n_draws=2, thresholds=[0.9, 0.95, 0.99],
+    )
+    lb = out["leaderboard"].toPandas()
+    assert len(lb) == 2
+    assert out["winner"]["config_id"] == lb.iloc[0]["config_id"]
+    # the permissive config must beat the degraded one on pooled F1
+    assert '"cos_threshold": 0.9' in out["winner"]["config_id"]
+    assert lb.iloc[0]["f1_mean"] > lb.iloc[1]["f1_mean"]
+    assert out["solved"].chosen_x in (0.9, 0.95, 0.99)
+    assert out["fusion_candidates"][0][1] == pytest.approx(
+        float(lb.f1_mean.iloc[0] + lb.f1_mean.iloc[1])
+    )
+    # resume: all units complete -> second run reuses them (and agrees)
+    out2 = model_selection_run(
+        spark, pages, gold_en, configs, str(tmp_path / "msel"),
+        n_draws=2, thresholds=[0.9, 0.95, 0.99],
+    )
+    assert out2["winner"]["config_id"] == out["winner"]["config_id"]
+    pages.unpersist(); gold_en.unpersist()
