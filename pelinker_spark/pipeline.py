@@ -78,6 +78,18 @@ class LinkResult:
             except Exception:
                 pass
 
+    def public_view(self) -> DataFrame:
+        """P7 public output projection (sinks.public_projection)."""
+        from .sinks import public_projection
+
+        return public_projection(self.clusters)
+
+    def debug_view(self) -> DataFrame:
+        """P7 debug output projection (sinks.debug_projection)."""
+        from .sinks import debug_projection
+
+        return debug_projection(self.clusters)
+
 
 def extract_stage(pages: DataFrame) -> DataFrame:
     """html → text with the byte-identity contract; drops rows whose html

@@ -17,6 +17,7 @@ PICK = [
     "q04_topk_per_group",
     "q10_semi_join",
     "q18_cosine_topk",
+    "q31_fused_centroids",
 ]
 
 
@@ -45,6 +46,28 @@ def main() -> None:
     m = generate_mentions(pages.select("url", "text", "lang"))
     out += ["## mention generation (narrow, no shuffle)", "```",
             plan_of(m).strip()[:3000], "```", ""]
+
+    # compact-channel blocking: the |surfaces| side must be probed by a
+    # BROADCAST semi join, never shuffled whole (round-2 rewrite)
+    from pyspark.sql import functions as F
+
+    from pelinker_spark.blocking import compact_key_pairs
+    from pelinker_spark.pipeline import surface_table
+
+    surfaces = surface_table(m).persist()
+    surfaces.count()
+    out += ["## compact_key_pairs (broadcast semi probe of the big side)",
+            "```", plan_of(compact_key_pairs(surfaces)).strip()[:3500], "```", ""]
+
+    # cluster assignment: mentions left-join the SMALL edge-key component
+    # map (broadcast under AQE) + coalesce — not a join on all surfaces
+    from pelinker_spark.cc import connected_components
+    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+
+    res = link_pipeline(spark, pages, cfg=LinkConfig())
+    out += ["## cluster assignment (small component map joined onto mentions)",
+            "```", plan_of(res.clusters).strip()[:3500], "```", ""]
+    res.unpersist()
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")

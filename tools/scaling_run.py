@@ -33,10 +33,12 @@ def main() -> None:
     pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
 
+    load_before = open("/proc/loadavg").read().split()[0]
     t0 = time.monotonic()
     res = link_pipeline(spark, pages, cfg=LinkConfig())
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     link_sec = time.monotonic() - t0
+    load_after = open("/proc/loadavg").read().split()[0]
 
     print(
         json.dumps(
@@ -46,6 +48,8 @@ def main() -> None:
                 "n_clusters": n_clusters,
                 "link_sec": round(link_sec, 2),
                 "docs_per_sec": round(n_pages / link_sec, 1),
+                "ambient_load_before": float(load_before),
+                "ambient_load_after": float(load_after),
             }
         )
     )
