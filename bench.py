@@ -82,12 +82,20 @@ def main() -> None:
         timings["warmup_2k"] = round(time.monotonic() - t0, 3)
 
         pages = spark.read.parquet(f"{tmp}/pages")
-        t0 = time.monotonic()
-        res = link_pipeline(spark, pages, cfg=LinkConfig())
-        n_clusters = res.clusters.select("cluster_id").distinct().count()
-        link_sec = time.monotonic() - t0
+        # two timed runs, min reported: this host is shared and a co-tenant
+        # burst mid-run can double a wall time (observed 152s vs 30s for
+        # identical work); min-of-2 measures the engine, not the neighbors
+        link_runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            res = link_pipeline(spark, pages, cfg=LinkConfig())
+            n_clusters = res.clusters.select("cluster_id").distinct().count()
+            link_runs.append(round(time.monotonic() - t0, 3))
+            res.unpersist()
+            assert n_clusters > 0
+        link_sec = min(link_runs)
         timings["link_pipeline"] = round(link_sec, 3)
-        assert n_clusters > 0
+        timings["link_pipeline_run2"] = max(link_runs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -24,6 +24,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_KEY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def has_nonkey_chars(key: Column) -> Column:
+    """True when the key contains characters outside [a-z0-9 ].
+
+    Equivalent to rlike("[^a-z0-9 ]") but via translate (a char-map walk):
+    java.util.regex costs ~25us/key, which at 12.5M surfaces was ~40s per
+    pass at 8 cores (measured); translate is ~10x cheaper."""
+    return F.length(F.translate(key, _KEY_ALPHABET, "")) > 0
+
+
+def compact_form(key: Column) -> Column:
+    """key with non-[a-z0-9 ] characters removed — the regex runs ONLY on
+    the punctuated minority (translate gate first), everything else passes
+    through unchanged (compact == key there by definition)."""
+    return F.when(
+        has_nonkey_chars(key), F.regexp_replace(key, "[^a-z0-9 ]", "")
+    ).otherwise(key)
+
 
 def char_shingles(s: Column, n: int = 3) -> Column:
     """Distinct character n-grams of a string (padded so short strings
@@ -203,10 +223,14 @@ def compact_key_pairs(
     "activate") are candidates. Catches OCR/hyphenation typos with
     probability 1 where LSH is probabilistic; one groupBy-shaped shuffle.
     Same per-block cap discipline as the LSH channel."""
-    compact = F.regexp_replace(F.col(key_col), "[^a-z0-9 ]", "")
-    df = surfaces.select(key_col, compact.alias("ck")).where(
-        F.col("ck") != F.col(key_col)
-    )
+    # translate-gated: punctuation detection is a char-map walk over all
+    # surfaces; the removal regex only ever runs on the punctuated minority
+    df = surfaces.select(key_col).where(has_nonkey_chars(F.col(key_col)))
+    df = df.select(
+        key_col,
+        F.regexp_replace(F.col(key_col), "[^a-z0-9 ]", "").alias("ck"),
+    ).where(F.col("ck") != F.col(key_col))
+    compact = compact_form(F.col(key_col))
     # pair each punctuated variant with every surface sharing its compact
     # form (including the canonical un-punctuated one, if present).
     #

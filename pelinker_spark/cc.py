@@ -80,7 +80,17 @@ def connected_components(
                 T.StructField("component", T.StringType(), False),
             ]
         )
-        return spark.createDataFrame(pairs or [], schema)
+        if pairs:
+            # Arrow path: pandas conversion ships the (possibly hundreds of
+            # thousands of) component rows to the JVM in columnar batches
+            # instead of pickled tuples — this createDataFrame sits on the
+            # serial driver path of every link run
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(pairs, columns=["key", "component"]), schema
+            )
+        return spark.createDataFrame([], schema)
 
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -114,7 +114,10 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         F.col("z.soff").alias("sent_off"),
     )
 
-    toks = tokenize_col(F.col("sent"))
+    # sentences are whitespace-normalized upstream (single spaces, no
+    # edges), so a plain split can never produce empty tokens — skipping
+    # tokenize_col's interpreted filter() lambda over ~100M tokens
+    toks = F.split(F.col("sent"), " ")
     df = df.select(
         "url", *extra_cols, "itext", "ichunk", "sent_off",
         toks.alias("toks"),

@@ -110,11 +110,26 @@ def span_accuracy(
     data/ground_truth sample shape {itext, a, b, entity_id}): a gold
     mention (url, gold_key, surface) is HIT when the pipeline produced a
     mention row on that url with the same blocking key whose mention text
-    equals the surface AND whose (a_abs, b_abs) span slices the
-    whitespace-normalized document to exactly that text — span exactness
-    end-to-end, not just cluster membership. Gold rows whose key
-    normalizes empty are excluded (no blocking-key regime to evaluate)."""
+    equals the surface modulo token-edge punctuation (whitespace tokens
+    carry adjacent punctuation — "receptor." for a gold span ending at
+    "receptor" — so equality is compared after the same per-token edge
+    strip the blocking key uses, case preserved) AND whose (a_abs, b_abs)
+    span slices the whitespace-normalized document to exactly the mention
+    text — span exactness end-to-end, not just cluster membership. Gold
+    rows whose key normalizes empty are excluded (no blocking-key regime
+    to evaluate)."""
     from .mentions import normalize_ws
+
+    def edge_stripped(col):
+        return F.array_join(
+            F.transform(
+                F.split(col, " "),
+                lambda t: F.regexp_replace(
+                    t, r"^[^a-zA-Z0-9]+|[^a-zA-Z0-9]+$", ""
+                ),
+            ),
+            " ",
+        )
 
     norm = pages.select("url", normalize_ws(F.col("text")).alias("__t"))
     m = (
@@ -122,7 +137,7 @@ def span_accuracy(
         .select(
             "url",
             "key",
-            "mention",
+            edge_stripped(F.col("mention")).alias("mention_core"),
             (
                 F.col("__t").substr(
                     (F.col("a_abs") + 1).cast("int"),
@@ -135,13 +150,19 @@ def span_accuracy(
     )
     g = (
         gold.where(F.col("gold_key").isNotNull())
-        .select("url", F.col("gold_key").alias("key"), "surface")
+        .select(
+            "url",
+            F.col("gold_key").alias("key"),
+            "surface",
+            edge_stripped(F.col("surface")).alias("surface_core"),
+        )
         .dropDuplicates(["url", "key", "surface"])
     )
     n_gold = g.count()
     n_hit = g.join(
         m,
-        (g.url == m.url) & (g.key == m.key) & (g.surface == m.mention),
+        (g.url == m.url) & (g.key == m.key)
+        & (g.surface_core == m.mention_core),
         "left_semi",
     ).count()
     return {

@@ -134,23 +134,40 @@ def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig,
     the pair table), then the encoder + cosine only for JW survivors — the
     encoder is the more expensive UDF and must see as few rows as possible.
 
-    Plan shape: one NARROW pass over the pair table — JW filter, then
-    encode both keys in place and take the cosine. Zero shuffles, zero
-    joins, no multi-scan cache races (the previous distinct-keys + two-join
-    formulation scanned the JW output three times and shuffled twice; with
-    duplicate keys memoized per Arrow batch inside the encoder, in-place
-    encoding is strictly cheaper until the encoder is a real transformer —
-    at which point encode the *surface table* once and join, amortizing
-    across all pairs that share a key).
-    Returns pairs with both scores, already filtered to jw >= threshold."""
+    Plan shape (measured, round 2): encode the DISTINCT keys of the JW
+    survivors once and join the vectors back, rather than encoding both
+    keys in place per pair row. The in-place variant was tried and DOUBLED
+    total pipeline CPU (359 vs 187 CPU-sec at 40k pages, /proc-accounted):
+    pair tables repeat keys heavily, and per-batch memoization cannot
+    amortize across batches/partitions the way a distinct-shuffle does.
+    The two equi joins are cheap (the pair table is small after the JW
+    filter); this is also the only shape that survives a real transformer
+    encoder. Returns pairs with both scores, filtered to jw >= threshold."""
     jw_pass = pairs.withColumn(
         "jw", jaro_winkler_udf(F.col("key_a"), F.col("key_b"))
     ).where(F.col("jw") >= cfg.jw_threshold)
-    return jw_pass.withColumn(
-        "cos",
-        cosine_col(
-            encode_udf(F.col("key_a")), encode_udf(F.col("key_b"))
-        ),
+    # consumed three times below (two key projections + the join base)
+    jw_pass = jw_pass.persist()
+    if registry is not None:
+        registry.append(jw_pass)
+
+    keys = (
+        jw_pass.select(F.col("key_a").alias("key"))
+        .unionByName(jw_pass.select(F.col("key_b").alias("key")))
+        .distinct()
+    )
+    emb = keys.select("key", encode_udf(F.col("key")).alias("emb"))
+    return (
+        jw_pass.join(
+            emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"),
+            "key_a",
+        )
+        .join(
+            emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"),
+            "key_b",
+        )
+        .withColumn("cos", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .drop("emb_a", "emb_b")
     )
 
 
@@ -168,7 +185,7 @@ def link_pipeline(
         else None
     )
 
-    def stage(name, build, persist=False):
+    def stage(name, build, persist=False, storage=None):
         if ckpt:
             return ckpt.stage(name, build)
         df = build()
@@ -178,15 +195,27 @@ def link_pipeline(
             # as ONE job wave up to the edge barrier below, so Catalyst/AQE
             # optimize the full DAG and there are no serial per-stage
             # barriers capping strong scaling (round-1 lesson).
-            df = df.persist()
+            df = df.persist(storage) if storage is not None else df.persist()
         return df
 
     docs = stage("extract", lambda: extract_stage(pages))
+    # the mention table is the largest intermediate (|mentions| ~ 100x
+    # |pages|); cache it SERIALIZED so holding it through the pair/score
+    # stages doesn't evict their execution memory (measured: deserialized
+    # caching at 320k pages slowed the pair stage ~2x via memory pressure)
+    from pyspark import StorageLevel
+
     mentions = stage(
         "mentions", lambda: generate_mentions(docs, cfg.windows, cfg.lang),
         persist=True,
+        storage=StorageLevel.MEMORY_AND_DISK,
     )
-    surfaces = stage("surfaces", lambda: surface_table(mentions), persist=True)
+    surfaces = stage(
+        "surfaces",
+        lambda: surface_table(mentions),
+        persist=True,
+        storage=StorageLevel.MEMORY_AND_DISK,
+    )
     if not ckpt and not globals().get("_SKIP_SURFACE_BARRIER", False):
         # barrier 1 of 2: the surface table is scanned by three independent
         # downstream branches (LSH channel, compact-channel probe, compact-
@@ -199,11 +228,15 @@ def link_pipeline(
     registry: list = []
 
     def build_pairs():
+        from .blocking import has_nonkey_chars
+
         linkable = surfaces
         if cfg.lsh_min_mentions > 1:
+            # translate-based punctuation check — rlike on every surface
+            # cost ~40s/12.5M keys (java.util.regex); translate is ~10x less
             linkable = surfaces.where(
                 (F.col("n_mentions") >= cfg.lsh_min_mentions)
-                | F.col("key").rlike("[^a-z0-9 ]")
+                | has_nonkey_chars(F.col("key"))
             )
         raw = lsh_candidate_pairs(
             linkable,

@@ -26,7 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
 N4 = 4 * N
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "160000"))
+PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "320000"))
 
 
 def run_once(cores: int, pages_dir: str) -> dict:
