@@ -62,6 +62,60 @@ def streaming_mention_counts(
     ).agg(F.count("*").alias("n_mentions"))
 
 
+def streaming_first_seen(
+    mentions_stream: DataFrame,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): emit each
+    blocking key exactly once — on the micro-batch where it is first seen
+    — with its earliest event time and first-batch mention mass.
+
+    This is the streaming analog of the surface table's "new vocabulary"
+    feed: downstream incremental blocking only needs keys it has never
+    scored before. State per key is a single seen-flag; Spark's state
+    store checkpoints it, so a restarted query continues deduplicating
+    across restarts (tested). Late rows for an already-emitted key are
+    absorbed silently (state exists → no output)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "key string, first_seen timestamp, n_first_batch long"
+    )
+    state_schema = "seen boolean"
+
+    def fn(key, pdfs, state: GroupState):
+        n = 0
+        first = None
+        for pdf in pdfs:
+            n += len(pdf)
+            ts = pdf["warc_ts"].min()
+            first = ts if first is None else min(first, ts)
+        if state.exists:
+            return iter([])
+        state.update((True,))
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "first_seen": [first],
+                        "n_first_batch": [n],
+                    }
+                )
+            ]
+        )
+
+    # operator output mode "append": every key row is emitted at most once
+    # (first sight), so rows are immutable — composes with append sinks
+    return mentions_stream.groupBy("key").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_incremental_link(
     spark: SparkSession,
     pages_dir: str,

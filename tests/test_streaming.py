@@ -59,3 +59,55 @@ def test_incremental_link_exactly_once(spark, tmp_path):
     run_incremental_link(spark, pages_dir, out, ck)
     n3 = spark.read.parquet(f"{out}/mentions").count()
     assert n3 > n2
+
+
+def test_streaming_first_seen_stateful(spark, tmp_path):
+    """applyInPandasWithState: a key is emitted exactly once across
+    micro-batches AND across query restarts (state-store resume)."""
+    from pelinker_spark.streaming import streaming_first_seen
+
+    pages_dir = tmp_path / "pages_fs"
+    pages_dir.mkdir()
+    ck = str(tmp_path / "ck_fs")
+
+    def run_once(qname):
+        stream = stream_pages(spark, str(pages_dir), max_files_per_trigger=2)
+        mentions = generate_mentions(
+            stream.select("url", "warc_ts", "text", "lang"),
+            (1, 2, 3), "en", extra_cols=("warc_ts",),
+        )
+        q = (
+            streaming_first_seen(mentions)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out_fs"))
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=300)
+
+    # batch 1
+    web_pages(spark, 120, seed=42, n_entities=20, partitions=2).write.mode(
+        "append"
+    ).parquet(str(pages_dir))
+    run_once("fs1")
+    out1 = spark.read.parquet(str(tmp_path / "out_fs"))
+    n1 = out1.count()
+    assert n1 == out1.select("key").distinct().count()  # unique keys only
+
+    # batch 2: same seed prefix → heavy key overlap, plus genuinely new
+    # pages; a RESTARTED query must emit only the never-seen keys
+    web_pages(spark, 240, seed=42, n_entities=20, partitions=2).write.mode(
+        "append"
+    ).parquet(str(pages_dir))
+    run_once("fs2")
+    out2 = spark.read.parquet(str(tmp_path / "out_fs"))
+    assert out2.count() == out2.select("key").distinct().count()  # still unique
+
+    # every key ever seen appears exactly once, and equals the batch truth
+    pages = spark.read.parquet(str(pages_dir))
+    expect_keys = (
+        generate_mentions(pages, (1, 2, 3), "en").select("key").distinct().count()
+    )
+    assert out2.count() == expect_keys
