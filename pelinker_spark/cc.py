@@ -16,12 +16,15 @@ real engine makes):
   blocking+scoring collapse the graph to near-duplicate links): collecting
   a few hundred thousand edges and running path-compressed union-find is
   orders of magnitude cheaper than distributed iterations.
-- **Distributed hash-min label propagation** for edge sets that don't fit
-  a driver: each iteration every node takes the min component key over
-  itself and its neighbors (one shuffle per iteration on the node key);
-  stop at fixpoint. Iterations = O(component diameter); surface-form
-  clusters are shallow hub-and-spoke graphs, so 3-5 rounds in practice.
-  localCheckpoint truncates lineage between rounds (SURVEY.md §4).
+- **Distributed hash-min + pointer doubling** for edge sets that don't
+  fit a driver: each round every node takes the min component key over
+  itself and its neighbors (hash-min propagate), then relabels through
+  the label table itself (comp[k] ← comp[comp[k]], pointer doubling) —
+  the path-compression trick from the MapReduce-CC literature
+  (large-star/small-star family), giving O(log diameter) rounds instead
+  of plain hash-min's O(diameter). Two shuffles per round on the node
+  key; stop at fixpoint; lazy localCheckpoint truncates lineage and the
+  convergence count materializes it in one action (SURVEY.md §4).
 """
 
 from __future__ import annotations
@@ -92,10 +95,14 @@ def connected_components(
             )
         return spark.createDataFrame([], schema)
 
+    # pre-shuffle the (constant) symmetric edge table once on the probe key
+    # so the per-iteration join only shuffles the (shrinking-churn) label
+    # table — the edge side's exchange is reused from the cache
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .dropDuplicates(["a", "b"])
+        .repartition("b")
         .persist()
     )
     sym.count()
@@ -107,30 +114,55 @@ def connected_components(
         .localCheckpoint()
     )
 
+    n_changed = -1  # max_iter < 1 must hit the unconverged branch, not NameError
     for _ in range(max_iter):
+        # step 1 — hash-min propagate: every node takes the min label over
+        # itself and its neighbors (one hop per round)
         nbr_min = (
             sym.join(comp.withColumnRenamed("key", "b2"), sym.b == F.col("b2"))
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_comp = comp.join(nbr_min, comp.key == nbr_min.a, "left").select(
+        prop = comp.join(nbr_min, comp.key == nbr_min.a, "left").select(
             "key",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"),
                 F.coalesce(F.col("nbr_component"), F.col("component")),
             ).alias("component"),
-            (F.col("nbr_component") < F.col("component")).alias("changed"),
         )
-        new_comp = new_comp.localCheckpoint()
+        # step 2 — pointer doubling: relabel through the label table itself
+        # (comp[k] ← comp[comp[k]]). Labels are always node keys and
+        # monotonically ≤ their node, so the hop is sound; composing it
+        # with step 1 contracts label chains geometrically — O(log d)
+        # rounds for diameter d instead of hash-min's O(d). At a fixpoint
+        # both steps are identity, so the convergence test is unchanged.
+        lut = prop.select(
+            F.col("key").alias("c_key"), F.col("component").alias("c_comp")
+        )
+        new_comp = (
+            prop.join(lut, prop.component == lut.c_key, "left")
+            .select(
+                "key",
+                F.coalesce(F.col("c_comp"), F.col("component")).alias(
+                    "component"
+                ),
+                (
+                    F.coalesce(F.col("c_comp"), F.col("component"))
+                    < F.col("old_component")
+                ).alias("changed"),
+            )
+        )
+        # lazy localCheckpoint: the count() below materializes the iteration
+        # (truncating lineage) AND measures convergence in ONE action
+        new_comp = new_comp.localCheckpoint(eager=False)
         n_changed = new_comp.where(F.col("changed")).count()
         comp = new_comp.drop("changed")
         if n_changed == 0:
             break
     else:
         # Unconverged components would silently split clusters; refuse to
-        # return wrong labels (ADVICE r1). O(diameter) iterations suffice
-        # for near-dup surface graphs; a genuinely deep chain needs a
-        # larger max_iter (or star-contraction — not warranted yet).
+        # return wrong labels (ADVICE r1).
         sym.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

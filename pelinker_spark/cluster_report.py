@@ -91,17 +91,20 @@ def consensus_cluster_names(
         .otherwise(F.col("hyphen"))
     )
     named = ranked.select(cluster_col, base.alias("base"))
-    # _A/_B disambiguation: stable by cluster id within each name bucket
+    # _A/_B disambiguation: stable by cluster id within each name bucket.
+    # Past _Z (more than 26 same-named clusters) fall back to numeric
+    # suffixes _27.._n — char(64+n) would walk into '[', '\', ']' (ADVICE
+    # r2: malformed though unique).
     w = Window.partitionBy("base").orderBy(cluster_col)
+    rn = F.row_number().over(w)
+    suffix = F.when(rn <= 26, F.char(F.lit(64) + rn)).otherwise(
+        rn.cast("string")
+    )
     return named.select(
         cluster_col,
         F.when(
             F.count("*").over(Window.partitionBy("base")) > 1,
-            F.concat(
-                F.col("base"),
-                F.lit("_"),
-                F.char(F.lit(64) + F.row_number().over(w)),
-            ),
+            F.concat(F.col("base"), F.lit("_"), suffix),
         )
         .otherwise(F.col("base"))
         .alias("name"),

@@ -59,7 +59,13 @@ def evaluate_threshold_grid(
     Returns one dict per grid point (list of rows — the grid is small;
     every metric underneath is computed distributed).
     """
-    edges = edges.persist()
+    # Don't steal a caller's cache: if edges is already persisted (e.g.
+    # model_selection passes the pipeline's cached res.edges), reuse it and
+    # leave it cached on exit — unpersisting would force the caller's next
+    # action to recompute the full extract→score lineage (ADVICE r2).
+    owns_cache = not edges.is_cached
+    if owns_cache:
+        edges = edges.persist()
     out: list[dict] = []
     for t in sorted(thresholds):
         kept = edges.where(F.col(score_col) >= F.lit(float(t)))
@@ -88,7 +94,8 @@ def evaluate_threshold_grid(
                 "ari": ari,
             }
         )
-    edges.unpersist()
+    if owns_cache:
+        edges.unpersist()
     return out
 
 

@@ -129,7 +129,14 @@ def label_simplicity(
     exploded label words; the harmonic mean and penalties are one groupBy
     back onto the label row. Adds char_count, word_count,
     simplicity_score to the kb frame."""
-    base = kb.withColumn("__text", F.lower(F.trim(F.col(label_col))))
+    # Score each DISTINCT label once: duplicate labels (two entities
+    # sharing a label) would otherwise multiply the per-word counts per
+    # duplicate and inflate the multiword/stopword penalties (ADVICE r2).
+    base = (
+        kb.select(label_col)
+        .dropDuplicates([label_col])
+        .withColumn("__text", F.lower(F.trim(F.col(label_col))))
+    )
     words = base.select(
         label_col,
         "__text",

@@ -94,6 +94,29 @@ def test_label_simplicity_parity_and_goldens(spark):
     assert got["the of"]["simplicity_score"] == pytest.approx(1e-8)
 
 
+def test_label_simplicity_duplicate_labels(spark):
+    """Two KB rows sharing a label must score exactly like a single row —
+    the explode used to multiply word counts per duplicate (ADVICE r2,
+    medium): 'protein kinase' scored word_count=4 instead of 2."""
+    freqs = {"kinase": 0.004, "protein": 0.02}
+    freq_df = spark.createDataFrame(
+        pd.DataFrame({"word": list(freqs), "freq": list(freqs.values())})
+    )
+    kb = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["E1", "E2", "E3"],
+        "label": ["protein kinase", "protein kinase", "kinase"],
+    }))
+    rows = label_simplicity(kb, freq_df).collect()
+    assert len(rows) == 3  # one output row per input row, duplicates kept
+    exp = label_simplicity_py("protein kinase", freqs)
+    for r in rows:
+        if r["label"] == "protein kinase":
+            assert r["word_count"] == 2
+            assert r["simplicity_score"] == pytest.approx(
+                exp["simplicity_score"], rel=1e-9
+            )
+
+
 def test_token_jaccard_df_cap(spark):
     # benign corpus: cap changes nothing
     docs = spark.createDataFrame(pd.DataFrame({

@@ -78,10 +78,23 @@ def test_connected_components_unconverged_raises(spark):
     chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(12)]
     df = spark.createDataFrame(pd.DataFrame(chain, columns=["src", "dst"]))
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, driver_max_edges=0, max_iter=2)
+        connected_components(df, driver_max_edges=0, max_iter=1)
+    # max_iter < 1 hits the same error path (regression: used to NameError)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, driver_max_edges=0, max_iter=0)
     # and with enough iterations the same graph converges to one component
     ok = connected_components(df, driver_max_edges=0, max_iter=25).toPandas()
     assert set(ok.component) == {"n000"}
+
+
+def test_connected_components_log_rounds_on_deep_chain(spark):
+    """Pointer doubling must converge a 300-deep chain in O(log d) rounds —
+    plain one-hop hash-min would need ~300 iterations (VERDICT r2 #1)."""
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(chain, columns=["src", "dst"]))
+    out = connected_components(df, driver_max_edges=0, max_iter=14).toPandas()
+    assert set(out.component) == {"n000"}
+    assert len(out) == 301
 
 
 def test_lsh_finds_typo_pairs(spark):

@@ -71,6 +71,24 @@ def test_mention_spans_exact(spark):
     assert "kinase activate receptor" in set(m[m.wg == 3].key)
 
 
+def test_generate_mentions_hof_parity(spark):
+    """The rewritten zipped-slice generate_mentions must produce EXACTLY
+    the rows of the original HOF formulation (its parity oracle) on
+    realistic synthetic pages — the docstring claims this test (ADVICE
+    r2: the claim was unguarded)."""
+    from pelinker_spark.mentions import generate_mentions_hof
+
+    pages = web_pages(spark, 40, seed=5, n_entities=12, partitions=4)
+    cols = ["url", "itext", "ichunk", "wg", "mention", "key",
+            "a", "b", "a_abs", "b_abs"]
+    fast = generate_mentions(pages).select(cols).toPandas()
+    oracle = generate_mentions_hof(pages).select(cols).toPandas()
+    fast = fast.sort_values(cols).reset_index(drop=True)
+    oracle = oracle.sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, oracle)
+    assert len(fast) > 100
+
+
 def test_kb_keys_and_gold_alignment(spark):
     n_pages, n_entities = 300, 40
     pages = web_pages(spark, n_pages, seed=42, n_entities=n_entities, partitions=4)
