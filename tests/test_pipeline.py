@@ -25,6 +25,78 @@ def test_jaro_winkler_values():
     assert _jaro_winkler("activate", "acetylate") < 0.94
 
 
+def test_jw_upper_bound_sound(spark):
+    """The codegen'd JW pre-gate must NEVER underestimate the true score —
+    otherwise it would drop true edges. Checked over adversarial pairs:
+    typos, transpositions, punctuation, unicode (outside-alphabet bucket),
+    prefix-heavy pairs, and random junk."""
+    import random
+
+    from pelinker_spark.scoring import jw_upper_bound_col
+
+    rng = random.Random(99)
+    vocab = "abcdefghijklmnopqrstuvwxyz0123456789 -'é字"
+    pairs = [
+        ("martha", "marhta"), ("activate", "acti-vate"), ("abc", "abc"),
+        ("abc", "xyz"), ("kinase", "kinases"), ("a", "a b c"),
+        ("strongly activate", "strongly activat-e"), ("é字", "é字x"),
+    ]
+    for _ in range(300):
+        a = "".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+        if rng.random() < 0.5:
+            b = list(a)
+            for _ in range(rng.randint(0, 3)):
+                i = rng.randrange(len(b))
+                b[i] = rng.choice(vocab)
+            b = "".join(b)
+        else:
+            b = "".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))
+        pairs.append((a, b.strip() or "x"))
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["a", "b"]))
+    rows = df.select(
+        "a", "b", jw_upper_bound_col(F.col("a"), F.col("b")).alias("ub")
+    ).collect()
+    for r in rows:
+        true = _jaro_winkler(r["a"], r["b"])
+        assert r["ub"] >= true - 1e-12, (r["a"], r["b"], r["ub"], true)
+
+
+def test_gated_jw_scorer_parity(spark):
+    """make_gated_jw_udf must return the EXACT JW for every pair at or
+    above the threshold and never promote a below-threshold pair — i.e.
+    filtering `>= t` on its output gives bit-identical edges to filtering
+    the ungated scorer (the pipeline's correctness contract)."""
+    import random
+
+    from pelinker_spark.scoring import jaro_winkler_udf, make_gated_jw_udf
+
+    rng = random.Random(3)
+    vocab = "abcdefghijklmnopqrstuvwxyz -é"
+    pairs = [("martha", "marhta"), ("activate", "acti-vate"), ("abc", "abc"),
+             ("kinase", "kinases"), ("é字", "é字")]
+    for _ in range(400):
+        a = "".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
+        b = list(a)
+        for _ in range(rng.randint(0, 2)):
+            b[rng.randrange(len(b))] = rng.choice(vocab)
+        pairs.append((a, "".join(b).strip() or "x"))
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["a", "b"]))
+    t = 0.95
+    rows = df.select(
+        "a", "b",
+        make_gated_jw_udf(t)(F.col("a"), F.col("b")).alias("gated"),
+        jaro_winkler_udf(F.col("a"), F.col("b")).alias("full"),
+    ).collect()
+    n_pass = 0
+    for r in rows:
+        if r["full"] >= t:
+            assert r["gated"] == r["full"], (r["a"], r["b"])
+            n_pass += 1
+        else:
+            assert r["gated"] < t
+    assert n_pass > 50  # the sample genuinely exercises the pass path
+
+
 def test_cosine_self_and_typo(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"a": ["activate", "activate", "strongly activate"],

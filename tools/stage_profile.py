@@ -74,7 +74,7 @@ def main() -> None:
             ).unionByName(compact_key_pairs(surfaces))
         ).dropDuplicates(["key_a", "key_b"]),
     )
-    scored, _ = tick("scored", score_pairs(pairs, surfaces, cfg))
+    scored, _ = tick("scored", score_pairs(pairs, cfg))
     edges, ne = tick(
         "edges",
         scored.where(F.col("cos") >= cfg.cos_threshold).select("key_a", "key_b"),
