@@ -36,6 +36,17 @@ HEADLINE = [
 ]
 
 
+def _load1() -> float:
+    """1-minute loadavg — recorded around each timed section so a
+    co-tenant burst on this shared host is distinguishable from an engine
+    regression (VERDICT r2 #5; the scaling_collect discipline)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except OSError:
+        return float("nan")
+
+
 def main() -> None:
     from pelinker_spark.operators.relational import QUERIES
     from pelinker_spark.pipeline import LinkConfig, link_pipeline
@@ -44,17 +55,20 @@ def main() -> None:
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
 
     # warm the JVM/Arrow paths once so per-query numbers measure the plan,
     # not first-call initialization
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    l0 = _load1()
     for name in HEADLINE:
         t0 = time.monotonic()
         df = QUERIES[name](spark, SF_DIR)
         n = df.count()
         timings[name] = round(time.monotonic() - t0, 3)
         assert n >= 0
+    loads["queries"] = [l0, _load1()]
 
     # flagship link pipeline on deterministic synthetic pages. The input is
     # materialized to parquet first (production input is a table on disk);
@@ -86,11 +100,13 @@ def main() -> None:
         # burst mid-run can double a wall time (observed 152s vs 30s for
         # identical work); min-of-2 measures the engine, not the neighbors
         link_runs = []
-        for _ in range(2):
+        for i in range(2):
+            la = _load1()
             t0 = time.monotonic()
             res = link_pipeline(spark, pages, cfg=LinkConfig())
             n_clusters = res.clusters.select("cluster_id").distinct().count()
             link_runs.append(round(time.monotonic() - t0, 3))
+            loads[f"link_run{i + 1}"] = [la, _load1()]
             res.unpersist()
             assert n_clusters > 0
         link_sec = min(link_runs)
@@ -112,6 +128,7 @@ def main() -> None:
                 "linked_docs_per_sec": round(N_LINK_PAGES / link_sec, 1),
                 "link_pages": N_LINK_PAGES,
                 "cpus": CPUS,
+                "loadavg1": loads,
             }
         )
     )

@@ -68,29 +68,6 @@ _MH_A = [
 ]
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 12) -> Column:
-    """array<bigint> minhash signature over an array column (kept for
-    small-data/oracle use; the pipeline path uses minhash_signatures_agg —
-    higher-order-function lambdas are interpreted, not codegen'd, so this
-    form is ~20x slower per row at scale)."""
-    assert num_hashes <= len(_MH_A)
-    base = F.transform(
-        shingles, lambda s: F.shiftrightunsigned(F.xxhash64(s), 33)
-    )
-
-    def _mix(a: int, k: int):
-        # unary lambda — extra params would be bound to transform's index arg
-        def fn(h):
-            return (h + F.lit(k)) * F.lit(a) % F.lit(2147483647)
-
-        return fn
-
-    sig = []
-    for k in range(num_hashes):
-        sig.append(F.array_min(F.transform(base, _mix(_MH_A[k], k))))
-    return F.array(*sig)
-
-
 def minhash_signatures_agg(
     surfaces: DataFrame, key_col: str = "key", num_hashes: int = 12, n: int = 3
 ) -> DataFrame:
@@ -119,25 +96,6 @@ def minhash_signatures_agg(
         for k in range(num_hashes)
     ]
     return ex.groupBy(key_col).agg(*aggs)
-
-
-def lsh_bands(sig: Column, bands: int = 4, rows: int = 3) -> Column:
-    """array<struct<band:int, bh:bigint>> — one bucket hash per band
-    (band = hash of its `rows` consecutive signature values)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ":", *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-                    ),
-                    F.lit(b),
-                ).alias("bh"),
-            )
-            for b in range(bands)
-        ]
-    )
 
 
 def lsh_candidate_pairs(

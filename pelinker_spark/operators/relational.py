@@ -1154,6 +1154,47 @@ FROM metrics GROUP BY 1
 """
 
 
+# P6/mention-score shape: per-node best incident edge score with exact-key
+# fallback (package operator pelinker_spark/pipeline.py
+# incident_link_scores; ref model.py:406-413 per-row link scores). Edge
+# scores use least() of two STORED doubles — exact, engine-independent.
+def q35_incident_scores(spark, sf_dir):
+    from ..pipeline import incident_link_scores
+
+    li = rd(spark, sf_dir, "lineitem")
+    part = rd(spark, sf_dir, "part")
+    edges = li.select(
+        F.col("l_partkey").alias("key_a"),
+        F.col("l_suppkey").alias("key_b"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("s"),
+    )
+    inc = incident_link_scores(edges, score=F.col("s"))
+    return (
+        part.select(F.col("p_partkey").alias("node"))
+        .join(inc.withColumnRenamed("key", "node"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("link_score"), F.lit(1.0)).alias("link_score"),
+            F.col("link_score").isNull().alias("exact_key"),
+        )
+        .orderBy("node")
+    )
+
+
+SQL_Q35 = """
+WITH incident AS (
+  SELECT node, MAX(s) AS best FROM (
+    SELECT l_partkey AS node, LEAST(l_discount, l_tax) AS s FROM lineitem
+    UNION ALL
+    SELECT l_suppkey AS node, LEAST(l_discount, l_tax) AS s FROM lineitem
+  ) GROUP BY node)
+SELECT p_partkey AS node, COALESCE(best, 1.0) AS link_score,
+       best IS NULL AS exact_key
+FROM part LEFT JOIN incident ON p_partkey = node
+ORDER BY node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1189,6 +1230,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_fold_pooling": q32_fold_pooling,
     "q33_label_simplicity": q33_label_simplicity,
     "q34_grid_aggregate": q34_grid_aggregate,
+    "q35_incident_scores": q35_incident_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -1226,4 +1268,5 @@ ORACLES: dict[str, str] = {
     "q32_fold_pooling": SQL_Q32,
     "q33_label_simplicity": SQL_Q33,
     "q34_grid_aggregate": SQL_Q34,
+    "q35_incident_scores": SQL_Q35,
 }

@@ -178,6 +178,34 @@ def score_pairs(pairs: DataFrame, cfg: LinkConfig,
     )
 
 
+def incident_link_scores(
+    edges: DataFrame,
+    src: str = "key_a",
+    dst: str = "key_b",
+    score: F.Column | None = None,
+) -> DataFrame:
+    """Per-surface link confidence: the best score over the scored edges
+    incident to the key (reference predictions carry per-row link scores,
+    model.py:406-413, :1501-1659). An edge's score is the WEAKER of its
+    two channel scores (least(jw, cos) — the gate that admitted it).
+    Returns (key, link_score); keys with no incident edge are absent
+    (callers coalesce to 1.0 — an exact-key member was never fuzzy-merged
+    so carries full confidence). One union + one hash agg over the (small,
+    post-threshold) edge table."""
+    s = score if score is not None else F.least(F.col("jw"), F.col("cos"))
+    inc = edges.select(F.col(src).alias("key"), s.alias("__s")).unionByName(
+        edges.select(F.col(dst).alias("key"), s.alias("__s"))
+    )
+    return inc.groupBy("key").agg(F.max("__s").alias("link_score"))
+
+
+def filter_clusters_by_score(clusters: DataFrame, min_score: float) -> DataFrame:
+    """P6 applied at MENTION level (VERDICT r2 #4): keep rows whose link
+    confidence reaches min_score; exact-key members (score 1.0) always
+    pass."""
+    return clusters.where(F.col("link_score") >= F.lit(float(min_score)))
+
+
 def link_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -307,10 +335,21 @@ def link_pipeline(
         # full |surfaces| table. AQE picks broadcast when comp fits; at
         # 10^12 docs it degrades gracefully to a shuffle join on key.
         comp = get_comp()
+        # per-mention link confidence (VERDICT r2 #4): best incident edge
+        # score for fuzzy-merged surfaces, 1.0 for exact-key members. Both
+        # side tables are derived from the (small) edge table — AQE
+        # broadcasts them; at 10^12 rows they degrade to shuffle joins on
+        # the same key the component join already uses.
+        inc = incident_link_scores(edges)
         m = (
             mentions.join(comp, "key", "left")
+            .join(inc, "key", "left")
             .withColumn(
                 "cluster_id", F.coalesce(F.col("component"), F.col("key"))
+            )
+            .withColumn("exact_key", F.col("link_score").isNull())
+            .withColumn(
+                "link_score", F.coalesce(F.col("link_score"), F.lit(1.0))
             )
             .drop("component")
         )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 PUBLIC_COLUMNS = [
     "url", "mention", "key", "wg", "a_abs", "b_abs", "cluster_id",
+    "link_score", "exact_key",
 ]
 DEBUG_EXTRA_COLUMNS = ["itext", "ichunk", "a", "b"]
 

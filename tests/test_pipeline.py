@@ -214,6 +214,25 @@ def test_end_to_end_f1(spark, tmp_path):
     anchored = res.clusters.where(F.col("kb_entity_id").isNotNull()).count()
     assert anchored > 0
 
+    # mention-level link scores (VERDICT r2 #4): in [0,1]; exact-key
+    # members carry full confidence; fuzzy members carry a real edge score
+    stats = res.clusters.agg(
+        F.min("link_score").alias("lo"),
+        F.max("link_score").alias("hi"),
+        F.sum(F.when(F.col("exact_key") & (F.col("link_score") != 1.0), 1)
+              .otherwise(0)).alias("bad_exact"),
+        F.sum(F.when(~F.col("exact_key"), 1).otherwise(0)).alias("n_fuzzy"),
+    ).collect()[0]
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+    assert stats["bad_exact"] == 0
+    assert stats["n_fuzzy"] > 0  # the corpus plants typo variants
+    from pelinker_spark.pipeline import filter_clusters_by_score
+
+    kept = filter_clusters_by_score(res.clusters, 0.96)
+    assert kept.where(F.col("link_score") < 0.96).count() == 0
+    # public projection exposes the new columns
+    assert {"link_score", "exact_key"} <= set(res.public_view().columns)
+
     # checkpoint resume: same config → stages read back, same result
     res2 = link_pipeline(spark, pages, kb=kb, checkpoint_dir=str(tmp_path / "ckpt"))
     assert res2.clusters.count() == res.clusters.count()
