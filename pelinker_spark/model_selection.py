@@ -14,7 +14,15 @@ Reference mapping (pelinker/model_selection/runner.py:99-1093):
   - min_cluster_size plateau solve (clustering_grid.py:240-364)
     → gridsearch.solve_optimal_grid_point over the edge-score threshold;
   - fusion-candidate ranking (clustering_fusion_ranking.py:25-66)
-    → gridsearch.top_k_fusion_candidates over pooled singleton scores.
+    → gridsearch.top_k_fusion_candidates over pooled singleton scores;
+  - fused re-evaluation (runner.py:584-812): each top-k combination is
+    re-run through the SAME checkpointed unit loop as a config whose
+    embedding axis is the canonical-ordered concatenation of its members'
+    encoder variants — score_pairs builds the fused vectors with
+    fusion.fuse_entity_vectors (J3) and the leaderboard extends with the
+    pooled fused scores;
+  - run-report artifact (runner.py:822-1093, reporting.py:447-484)
+    → leaderboard parquet + run_summary.json under `root`.
 
 The driver orchestrates (the grid is small); every evaluation underneath
 is a distributed Spark job, so the same loop runs unchanged against a
@@ -98,27 +106,21 @@ def evaluate_unit(
     return [{**base, **g} for g in grid]
 
 
-def model_selection_run(
+def _run_units(
     spark: SparkSession,
     pages: DataFrame,
     gold: DataFrame,
-    configs: list[dict],
+    jobs: list[tuple[str, dict]],
     root: str,
-    n_draws: int = 2,
-    thresholds: list[float] | None = None,
-    fusion_order: int = 2,
-    fusion_k: int = 3,
-) -> dict:
-    """Run (or resume) the selection grid. Returns
-    {"units": DataFrame, "leaderboard": DataFrame, "winner": dict,
-     "solved": GridOptimum, "fusion_candidates": list}."""
-    thresholds = thresholds or [0.85, 0.9, 0.95]
-    os.makedirs(root, exist_ok=True)
-    input_id = input_identity(pages)
-
+    input_id: str,
+    n_draws: int,
+    thresholds: list[float],
+) -> list[str]:
+    """Evaluate (or resume) a batch of (config_id, cfg_dict) work units —
+    one checkpointed parquet dir per (config, draw), Spark's _SUCCESS as
+    the atomicity token. Returns the unit paths (completed + fresh)."""
     unit_paths = []
-    for cfg_dict in configs:
-        cid = _config_id(cfg_dict)
+    for cid, cfg_dict in jobs:
         cfg = LinkConfig(**cfg_dict)
         for draw in range(n_draws):
             fp = run_fingerprint({**cfg_dict, "draw": draw}, input_id)
@@ -147,15 +149,95 @@ def model_selection_run(
                 schema=UNIT_SCHEMA,
             )
             unit_df.coalesce(1).write.mode("overwrite").parquet(path)
+    return unit_paths
 
+
+def fused_config_dict(member_dicts: list[dict]) -> dict:
+    """The fused configuration for an order-tuple of singleton configs
+    (reference runner.py:618-632: members canonically ordered, combination
+    key from the ordered members): pipeline knobs come from the FIRST
+    member in canonical order; the embedding axis becomes the
+    concatenation of every member's encoder variants, in canonical member
+    order (duplicates kept — fusing two sources is meaningful even when
+    they share an encoder)."""
+    canonical = sorted(member_dicts, key=_config_id)
+    base = dict(canonical[0])
+    variants: list[str] = []
+    for d in canonical:
+        variants.extend(d.get("encoder_variants", ["default"]))
+    base["encoder_variants"] = variants
+    return base
+
+
+def model_selection_run(
+    spark: SparkSession,
+    pages: DataFrame,
+    gold: DataFrame,
+    configs: list[dict],
+    root: str,
+    n_draws: int = 2,
+    thresholds: list[float] | None = None,
+    fusion_order: int = 2,
+    fusion_k: int = 3,
+    evaluate_fusions: bool = True,
+) -> dict:
+    """Run (or resume) the selection grid, then re-evaluate the top-k
+    fusion candidates on join-fused embedding frames and extend the
+    leaderboard (reference runner.py:584-812 — the fused stage runs the
+    SAME per-draw evaluation as singletons, checkpointed the same way).
+    Returns {"units", "leaderboard", "winner", "solved",
+    "fusion_candidates", "fused_config_ids", "report_paths"}."""
+    thresholds = thresholds or [0.85, 0.9, 0.95]
+    os.makedirs(root, exist_ok=True)
+    input_id = input_identity(pages)
+
+    singleton_jobs = [(_config_id(d), d) for d in configs]
+    unit_paths = _run_units(
+        spark, pages, gold, singleton_jobs, root, input_id, n_draws, thresholds
+    )
     units = spark.read.parquet(*unit_paths)
 
     # A10: pool per-draw unit scores per config; O5: leaderboard best-first
-    per_unit = units.select(
-        "config_id", "draw", "precision", "recall", "f1", "n_edges"
-    ).dropDuplicates(["config_id", "draw"])
-    pooled = pool_cv_folds(per_unit, ["config_id"], ["precision", "recall", "f1"])
-    leaderboard = pooled.orderBy(F.desc("f1_mean"), "config_id")
+    def build_leaderboard(u: DataFrame) -> DataFrame:
+        per_unit = u.select(
+            "config_id", "draw", "precision", "recall", "f1", "n_edges"
+        ).dropDuplicates(["config_id", "draw"])
+        pooled = pool_cv_folds(
+            per_unit, ["config_id"], ["precision", "recall", "f1"]
+        )
+        return pooled.orderBy(F.desc("f1_mean"), "config_id")
+
+    singleton_lb = build_leaderboard(units)
+
+    # O4: fusion candidates over pooled SINGLETON scores
+    items = [
+        (r["config_id"], float(r["f1_mean"]))
+        for r in singleton_lb.select("config_id", "f1_mean").collect()
+    ]
+    fusion = top_k_fusion_candidates(items, fusion_order, fusion_k)
+
+    # fused re-evaluation stage: each candidate combination becomes a
+    # full config (fused embedding axis) and runs through the identical
+    # checkpointed unit loop — resume skips completed fused units too
+    fused_ids: list[str] = []
+    if evaluate_fusions and fusion:
+        by_id = {cid: d for cid, d in singleton_jobs}
+        fused_jobs = []
+        seen: set[str] = set()
+        for member_ids, _score in fusion:
+            fd = fused_config_dict([by_id[cid] for cid in member_ids])
+            fid = _config_id(fd)
+            if fid in seen:
+                continue
+            seen.add(fid)
+            fused_jobs.append((fid, fd))
+        fused_ids = [fid for fid, _ in fused_jobs]
+        unit_paths += _run_units(
+            spark, pages, gold, fused_jobs, root, input_id, n_draws, thresholds
+        )
+        units = spark.read.parquet(*unit_paths)
+
+    leaderboard = build_leaderboard(units)
     winner = pick_winner_by_pooled_metric(leaderboard, "f1_mean")
 
     # M10+W7: aggregate the winner's threshold grid across draws and solve
@@ -171,17 +253,41 @@ def model_selection_run(
         objective="dbcv_ari_mean_minmax",
     )
 
-    # O4: fusion candidates over pooled singleton scores
-    items = [
-        (r["config_id"], float(r["f1_mean"]))
-        for r in leaderboard.select("config_id", "f1_mean").collect()
-    ]
-    fusion = top_k_fusion_candidates(items, fusion_order, fusion_k)
-
-    return {
+    result = {
         "units": units,
         "leaderboard": leaderboard,
         "winner": winner,
         "solved": solved,
         "fusion_candidates": fusion,
+        "fused_config_ids": fused_ids,
     }
+    result["report_paths"] = write_selection_report(root, result)
+    return result
+
+
+def write_selection_report(root: str, result: dict) -> dict[str, str]:
+    """Run-report artifact (reference runner.py:822-1093 +
+    reporting.py:447-484): the pooled leaderboard as a parquet table and a
+    JSON summary (winner, solved grid point, fusion shortlist, fused
+    config ids) under `root`. Returns {artifact: path}."""
+    from dataclasses import asdict
+
+    from .sinks import write_by_extension
+
+    lb_path = os.path.join(root, "leaderboard")
+    write_by_extension(result["leaderboard"].coalesce(1), lb_path)
+    summary = {
+        "winner": result["winner"],
+        "solved": asdict(result["solved"]),
+        "fusion_candidates": [
+            {"members": m, "sum_score": s}
+            for m, s in result["fusion_candidates"]
+        ],
+        "fused_config_ids": result["fused_config_ids"],
+    }
+    summary_path = os.path.join(root, "run_summary.json")
+    tmp = summary_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(summary, fh, indent=2, sort_keys=True, default=str)
+    os.replace(tmp, summary_path)  # atomic publish (S8 discipline)
+    return {"leaderboard": lb_path, "run_summary": summary_path}

@@ -36,7 +36,7 @@ from .checkpoint import CheckpointManager
 from .extract import extract_text
 from .mentions import generate_mentions, kb_blocking_keys
 from .metrics import pairwise_prf
-from .scoring import cosine_col, encode_udf, make_gated_jw_udf
+from .scoring import cosine_col, make_encode_udf, make_gated_jw_udf
 
 
 @dataclass
@@ -55,6 +55,12 @@ class LinkConfig:
     jw_threshold: float = 0.95
     cos_threshold: float = 0.90
     seed: int = 13
+    # embedding source(s) — the reference's (model, layer) axis. One
+    # variant: plain encode. Several: per-source vectors are fused
+    # (fuse_entity_vectors concat, J3) and cosine is computed on the
+    # fused vector (= mean of per-source cosines for unit parts), the
+    # model-selection fused re-evaluation path (runner.py:584-812).
+    encoder_variants: tuple[str, ...] = ("default",)
     # eager barrier after the surface groupBy (see link_pipeline); off only
     # for plan-shape experiments — was a module-global test hook before
     surface_barrier: bool = True
@@ -163,7 +169,26 @@ def score_pairs(pairs: DataFrame, cfg: LinkConfig,
         .unionByName(jw_pass.select(F.col("key_b").alias("key")))
         .distinct()
     )
-    emb = keys.select("key", encode_udf(F.col("key")).alias("emb"))
+    variants = tuple(cfg.encoder_variants) or ("default",)
+    if len(variants) == 1:
+        emb = keys.select(
+            "key", make_encode_udf(variants[0])(F.col("key")).alias("emb")
+        )
+        k_sources = 1
+    else:
+        # fused scoring: one frame per embedding source, concatenated per
+        # key via the J3 fusion operator; each per-source vector is unit,
+        # so cosine(concat)/n_sources == mean of per-source cosines
+        from .fusion import fuse_entity_vectors
+
+        frames = [
+            keys.select(
+                "key", make_encode_udf(v)(F.col("key")).alias("emb")
+            )
+            for v in variants
+        ]
+        emb = fuse_entity_vectors(frames, entity_col="key", embed_col="emb")
+        k_sources = len(variants)
     return (
         jw_pass.join(
             emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"),
@@ -173,7 +198,10 @@ def score_pairs(pairs: DataFrame, cfg: LinkConfig,
             emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"),
             "key_b",
         )
-        .withColumn("cos", cosine_col(F.col("emb_a"), F.col("emb_b")))
+        .withColumn(
+            "cos",
+            cosine_col(F.col("emb_a"), F.col("emb_b")) / F.lit(float(k_sources)),
+        )
         .drop("emb_a", "emb_b")
     )
 

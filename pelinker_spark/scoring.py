@@ -50,11 +50,15 @@ def _features(s: str) -> set[str]:
     return grams
 
 
-def _encode_batch(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
+def _encode_batch(
+    texts: pd.Series, dim: int = EMBED_DIM, salt: str = ""
+) -> pd.Series:
     """Mean-pooled feature vectors, L2-normalized. Vectorized per Arrow
     batch with a feature-vector cache (the 'model' here) plus a
     string-level memo — pair tables repeat keys, so each distinct string
-    in a batch encodes once."""
+    in a batch encodes once. `salt` keys the feature space: distinct
+    salts model distinct embedding sources (the reference's model/layer
+    axis) with the same similarity structure but independent vectors."""
     cache: dict[str, np.ndarray] = {}
     memo: dict[str, np.ndarray] = {}
     out = []
@@ -66,7 +70,7 @@ def _encode_batch(texts: pd.Series, dim: int = EMBED_DIM) -> pd.Series:
             for g in _features(s):
                 fv = cache.get(g)
                 if fv is None:
-                    fv = cache[g] = _unit_vec(g, dim)
+                    fv = cache[g] = _unit_vec(salt + g, dim)
                 acc += fv
             n = np.linalg.norm(acc)
             v = memo[s] = (acc / n if n > 0 else acc).astype(np.float32)
@@ -80,6 +84,25 @@ def encode_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
     (reference loads HF models once per model_type, model.py:1028-1043)."""
     for texts in batches:
         yield _encode_batch(texts)
+
+
+def make_encode_udf(variant: str = "default"):
+    """Encoder factory keyed by source variant (the engine's analog of the
+    reference's (model, layer) embedding-source axis, model.py:1028-1043):
+    variant 'default' is the canonical encoder (bit-identical to
+    encode_udf); any other variant salts the feature space, producing an
+    independent but similarity-consistent embedding source for fusion
+    (J2/J3) and model selection."""
+    if variant == "default":
+        return encode_udf
+    salt = f"{variant}\x1f"
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def encode_variant(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield _encode_batch(texts, salt=salt)
+
+    return encode_variant
 
 
 def cosine_col(a: Column, b: Column) -> Column:
