@@ -98,6 +98,38 @@ def minhash_signatures_agg(
     return ex.groupBy(key_col).agg(*aggs)
 
 
+def lsh_buckets(
+    keys: DataFrame,
+    key_col: str = "key",
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+) -> DataFrame:
+    """key table → (key, band, bh) LSH bucket membership rows: minhash
+    signature (scalable agg form) banded into `bands` bucket hashes of
+    `rows` consecutive signature values each. Deterministic in the key
+    string alone, so bucket ids computed incrementally (per streaming
+    batch) are IDENTICAL to a batch run — the property the incremental
+    blocking path relies on (streaming.incremental_link_batch)."""
+    assert num_hashes >= bands * rows
+    sig = minhash_signatures_agg(keys.select(key_col), key_col, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ":", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                ),
+                F.lit(b),
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        key_col, F.explode(F.array(*band_structs)).alias("bnd")
+    ).select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     surfaces: DataFrame,
     key_col: str = "key",
@@ -115,23 +147,7 @@ def lsh_candidate_pairs(
     degenerate bucket can't go quadratic. Self-joins use the (band, bh)
     equi-key, so Catalyst shuffles once on the bucket id.
     """
-    assert num_hashes >= bands * rows
-    sig = minhash_signatures_agg(surfaces.select(key_col), key_col, num_hashes)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ":", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
-                ),
-                F.lit(b),
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    bucketed = sig.select(
-        key_col, F.explode(F.array(*band_structs)).alias("bnd")
-    ).select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
+    bucketed = lsh_buckets(surfaces, key_col, num_hashes, bands, rows)
     # the bucket table feeds both the size aggregation and the semi-join
     # probe, and later both sides of the pair self-join — without
     # materialization the minhash lineage recomputes up to 4x

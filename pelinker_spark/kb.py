@@ -10,8 +10,10 @@ patterns, anchored at word boundaries.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def preprocess_kb(kb: DataFrame) -> DataFrame:
@@ -71,6 +73,63 @@ def override_join(
         .withColumn(col, F.coalesce(F.col("__fit"), F.col(col)))
         .drop("__fit")
     )
+
+
+# ------------------------------------- KB-lemma validation on predictions
+def validate_kb_anchors(
+    clusters: DataFrame, kb: DataFrame, fuzzy: bool = True
+) -> DataFrame:
+    """Post-link KB validation columns on the cluster output (reference
+    enrich_entity_predictions_kb_validation + build_kb_lemma_index,
+    linker_kb_lemma.py:9-62): resolve the KB entity reachable from the
+    mention's own (wg, lemma-key) — the same index resolution used at
+    link time — and compare it against the cluster's KB anchor.
+
+    Adds:
+      kb_label          — the anchor entity's label (null if unanchored)
+      kb_lemma_entity_id— entity whose label lemma-key equals the
+                          mention's key (null if none)
+      kb_label_valid    — anchored AND (lemma-key match OR, with
+                          fuzzy=True, the anchor label's fuzzy pattern
+                          (matching.py:4-23) occurs in the mention — this
+                          is what validates typo variants merged into an
+                          anchored cluster)
+
+    Plan: two broadcast joins against KB-derived dims; the fuzzy rlike
+    evaluates only where an anchor label is present (non-anchored rows
+    short-circuit on the null pattern), so the per-row regex touches the
+    anchored minority only."""
+    from .mentions import kb_blocking_keys
+
+    kbk = kb_blocking_keys(kb).select(
+        "wg", "key", F.col("entity_id").alias("kb_lemma_entity_id")
+    )
+    out = clusters.join(F.broadcast(kbk), ["wg", "key"], "left")
+
+    labels = kb.select(
+        F.col("entity_id").alias("kb_entity_id"),
+        F.col("label").alias("kb_label"),
+    )
+    if fuzzy:
+
+        @F.pandas_udf(T.StringType())
+        def _pattern_udf(ls: pd.Series) -> pd.Series:
+            return ls.map(
+                lambda s: fuzzy_label_pattern(s.lower()) if s else None
+            )
+
+        # patterns are built ONCE per KB row (small dim), never per mention
+        labels = labels.withColumn("__pat", _pattern_udf(F.col("kb_label")))
+    out = out.join(F.broadcast(labels), "kb_entity_id", "left")
+
+    exact = F.col("kb_lemma_entity_id") == F.col("kb_entity_id")
+    valid = exact
+    if fuzzy:
+        valid = valid | F.regexp_like(F.lower(F.col("mention")), F.col("__pat"))
+    out = out.withColumn(
+        "kb_label_valid", F.coalesce(valid, F.lit(False))
+    )
+    return out.drop("__pat") if fuzzy else out
 
 
 # ------------------------------------------------- F14: label simplicity

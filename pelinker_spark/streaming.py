@@ -116,29 +116,213 @@ def streaming_first_seen(
     )
 
 
+def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch append: partition by batch_id with dynamic
+    partition overwrite, so a foreachBatch replay (streaming checkpoint
+    not yet committed when the job died) rewrites its own partition
+    instead of duplicating rows — the parquet stand-in for an Iceberg
+    idempotent append."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def incremental_link_batch(
+    spark: SparkSession,
+    new_keys: DataFrame,
+    out_dir: str,
+    cfg=None,
+    batch_id: int = 0,
+) -> None:
+    """Score ONE micro-batch of never-seen surface keys against the
+    accumulated key state (VERDICT r2 #6 — the consumer of the
+    streaming_first_seen feed).
+
+    Incremental blocking invariant: a candidate pair's LATER endpoint is
+    new exactly once, so joining the new keys' bucket/compact rows against
+    the accumulated state (old ∪ new) enumerates every pair at most once
+    across all batches, and — because bucket ids depend only on the key
+    string (blocking.lsh_buckets) — the union of per-batch pairs equals
+    the batch-mode pair set (parity-tested). Deviations from batch mode,
+    by construction of an append-only stream: (a) the LSH channel admits
+    every key (lsh_min_mentions is a cross-batch property); (b) the
+    hot-bucket cap applies to the ACCUMULATED bucket size at emission
+    time — pairs already emitted before a bucket went hot stay.
+
+    State layout under out_dir (all batch_id-partitioned, idempotent):
+      buckets/  (key, band, bh)      — accumulated LSH membership
+      compact/  (key, ck, punct, wc) — accumulated compact forms
+      edges/    (key_a, key_b, jw, cos) — scored edges
+    """
+    from .blocking import compact_form, has_nonkey_chars, lsh_buckets
+    from .pipeline import LinkConfig, prefilter_pairs, score_pairs
+
+    cfg = cfg or LinkConfig()
+    nk = new_keys.select("key").dropDuplicates(["key"]).persist()
+
+    wc = F.size(F.split(F.col("key"), " "))
+    nk_b = lsh_buckets(nk, "key", cfg.lsh_num_hashes, cfg.lsh_bands, cfg.lsh_rows)
+    nk_c = nk.select(
+        "key",
+        compact_form(F.col("key")).alias("ck"),
+        has_nonkey_chars(F.col("key")).alias("punct"),
+        wc.alias("wc"),
+    )
+    _write_batch(nk_b, f"{out_dir}/buckets", batch_id)
+    _write_batch(nk_c, f"{out_dir}/compact", batch_id)
+
+    # read the accumulated state back from disk (includes this batch) —
+    # one consistent view for both the join probe and the hot caps
+    all_b = spark.read.parquet(f"{out_dir}/buckets")
+    all_c = spark.read.parquet(f"{out_dir}/compact")
+
+    ok_buckets = (
+        all_b.groupBy("band", "bh")
+        .agg(F.count("*").alias("bn"))
+        .where(F.col("bn") <= cfg.max_block)
+        .select("band", "bh")
+    )
+    nb = all_b.where(F.col("batch_id") == batch_id).join(
+        ok_buckets, ["band", "bh"], "left_semi"
+    )
+    ob = all_b.join(ok_buckets, ["band", "bh"], "left_semi")
+    pairs_lsh = (
+        nb.select("band", "bh", F.col("key").alias("k1"))
+        .join(ob.select("band", "bh", F.col("key").alias("k2")), ["band", "bh"])
+        .where(F.col("k1") != F.col("k2"))
+        .select(
+            F.least("k1", "k2").alias("key_a"),
+            F.greatest("k1", "k2").alias("key_b"),
+        )
+        .where(
+            F.size(F.split(F.col("key_a"), " "))
+            == F.size(F.split(F.col("key_b"), " "))
+        )
+    )
+
+    ok_groups = (
+        all_c.groupBy("ck")
+        .agg(F.count("*").alias("gn"))
+        .where(F.col("gn") <= cfg.max_block)
+        .select("ck")
+    )
+    ncp = all_c.where(F.col("batch_id") == batch_id).join(
+        ok_groups, "ck", "left_semi"
+    )
+    ocp = all_c.join(ok_groups, "ck", "left_semi")
+    pairs_c = (
+        ncp.select("ck", F.col("key").alias("k1"), F.col("punct").alias("p1"),
+                   F.col("wc").alias("w1"))
+        .join(
+            ocp.select("ck", F.col("key").alias("k2"),
+                       F.col("punct").alias("p2"), F.col("wc").alias("w2")),
+            "ck",
+        )
+        .where((F.col("k1") != F.col("k2")) & (F.col("p1") | F.col("p2")))
+        .where(F.col("w1") == F.col("w2"))
+        .select(
+            F.least("k1", "k2").alias("key_a"),
+            F.greatest("k1", "k2").alias("key_b"),
+        )
+    )
+
+    pairs = (
+        prefilter_pairs(pairs_lsh.unionByName(pairs_c))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    edges = (
+        score_pairs(pairs, cfg)
+        .where(F.col("cos") >= cfg.cos_threshold)
+        .select("key_a", "key_b", "jw", "cos")
+    )
+    _write_batch(edges, f"{out_dir}/edges", batch_id)
+    nk.unpersist()
+
+
+def finalize_incremental_link(
+    spark: SparkSession, out_dir: str, kb: DataFrame | None = None
+) -> DataFrame:
+    """Periodic batch step over the accumulated incremental state:
+    connected components over ALL edges so far, joined back onto the
+    accumulated mention table — the same cluster assignment as
+    link_pipeline's (iterative CC cannot run inside a streaming query;
+    SURVEY.md §2.10 lambda split)."""
+    import os
+
+    from .cc import connected_components
+
+    if not os.path.isdir(f"{out_dir}/edges"):
+        m = spark.read.parquet(f"{out_dir}/mentions")
+        return m.withColumn("cluster_id", F.col("key"))
+    edges = spark.read.parquet(f"{out_dir}/edges").dropDuplicates(
+        ["key_a", "key_b"]
+    )
+    mentions = spark.read.parquet(f"{out_dir}/mentions")
+    comp = connected_components(edges, "key_a", "key_b")
+    return (
+        mentions.join(comp, "key", "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col("key")))
+        .drop("component")
+    )
+
+
 def run_incremental_link(
     spark: SparkSession,
     pages_dir: str,
     out_dir: str,
     checkpoint_dir: str,
     lang: str | None = "en",
+    cfg=None,
+    max_files_per_trigger: int = 8,
 ) -> None:
-    """foreachBatch ingestion: per micro-batch, extract mentions and append
-    to the mention table (exactly-once via the streaming checkpoint).
-    Blocking/scoring/CC then run as periodic batch jobs over out_dir —
-    iterative CC cannot run inside a streaming query."""
-    stream = stream_pages(spark, pages_dir)
+    """Two cooperating streaming queries over the page stream (each with
+    its own checkpoint — exactly-once file-source processing):
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+      1. mention ingest — per micro-batch, extract mentions and append to
+         the mention table (idempotent batch_id partitions);
+      2. incremental scoring — streaming_first_seen deduplicates surface
+         keys across batches AND restarts, and each micro-batch of
+         never-seen keys is scored against the accumulated key state
+         (incremental_link_batch) — batch 2 never re-scores batch 1's
+         vocabulary.
+
+    CC + cluster assignment then run as a periodic batch job
+    (finalize_incremental_link)."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
         m = generate_mentions(batch_df, (1, 2, 3), lang)
-        m.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{out_dir}/mentions"
-        )
+        _write_batch(m, f"{out_dir}/mentions", batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
+    q1 = (
+        stream_pages(spark, pages_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{checkpoint_dir}/ingest")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+
+    mention_stream = generate_mentions(
+        stream_pages(spark, pages_dir, max_files_per_trigger).select(
+            "url", "warc_ts", "text", "lang"
+        ),
+        (1, 2, 3),
+        lang,
+        extra_cols=("warc_ts",),
+    )
+
+    def score_new(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_link_batch(spark, batch_df, out_dir, cfg, batch_id)
+
+    q2 = (
+        streaming_first_seen(mention_stream)
+        .writeStream.foreachBatch(score_new)
+        .option("checkpointLocation", f"{checkpoint_dir}/score")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()

@@ -45,6 +45,50 @@ def test_fuzzy_match(spark):
     assert hit[2]["m"] is False and hit[2]["e"] == ""
 
 
+def test_validate_kb_anchors(spark):
+    """Reference enrich_entity_predictions_kb_validation semantics: exact
+    lemma-key members validate, fuzzy typo variants of the anchor label
+    validate, inconsistent anchors and unanchored rows do not."""
+    from pelinker_spark.kb import validate_kb_anchors
+
+    kb = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["E1", "E2"],
+        "label": ["activates", "strongly activates"],
+    }))
+    clusters = spark.createDataFrame(pd.DataFrame({
+        "mention": ["activates", "strongly activated",
+                    "binds", "activates"],
+        "key": ["activate", "strongly activ",  # 2nd: planted typo key
+                "bind", "activate"],
+        "wg": [1, 2, 1, 1],
+        "kb_entity_id": ["E1", "E2", "E1", None],
+    }))
+    out = {
+        (r["mention"], r["kb_entity_id"]): r
+        for r in validate_kb_anchors(clusters, kb).collect()
+    }
+    # exact lemma-key member of its anchor entity
+    r = out[("activates", "E1")]
+    assert r["kb_label_valid"] and r["kb_lemma_entity_id"] == "E1"
+    assert r["kb_label"] == "activates"
+    # typo variant: lemma key misses, the fuzzy stem+gap pattern validates
+    r = out[("strongly activated", "E2")]
+    assert r["kb_lemma_entity_id"] is None
+    assert r["kb_label_valid"]
+    # anchored but inconsistent surface
+    assert not out[("binds", "E1")]["kb_label_valid"]
+    # unanchored row: never valid, no label
+    r = out[("activates", None)]
+    assert not r["kb_label_valid"] and r["kb_label"] is None
+    # fuzzy=False keeps only the exact lemma channel
+    strict = {
+        (r["mention"], r["kb_entity_id"]): r["kb_label_valid"]
+        for r in validate_kb_anchors(clusters, kb, fuzzy=False).collect()
+    }
+    assert strict[("activates", "E1")]
+    assert not strict[("strongly activated", "E2")]
+
+
 def test_override_join(spark):
     full = spark.createDataFrame(
         pd.DataFrame({"id": [1, 2, 3], "lbl": ["a", "b", "c"]})
