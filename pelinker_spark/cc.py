@@ -61,10 +61,13 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     driver_max_edges: int = DRIVER_MAX_EDGES,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) [string keys] → (key, component) where component is
     the lexicographically smallest member key. Deterministic: depends only
-    on the edge set, never on partitioning."""
+    on the edge set, never on partitioning. When `stats` is given it is
+    filled with {"path": driver|distributed, "iterations": n} for
+    observability (bench receipts)."""
     spark = edges.sparkSession
     # one action decides the strategy AND fetches the edges for the driver
     # path: collect at most driver_max_edges+1 rows — if we got them all,
@@ -75,6 +78,8 @@ def connected_components(
         else []
     )
     if driver_max_edges > 0 and len(probe) <= driver_max_edges:
+        if stats is not None:
+            stats.update(path="driver", iterations=0)
         rows = [(r[0], r[1]) for r in probe]
         pairs = _driver_union_find(rows)
         schema = T.StructType(
@@ -115,7 +120,9 @@ def connected_components(
     )
 
     n_changed = -1  # max_iter < 1 must hit the unconverged branch, not NameError
+    n_rounds = 0
     for _ in range(max_iter):
+        n_rounds += 1
         # step 1 — hash-min propagate: every node takes the min label over
         # itself and its neighbors (one hop per round)
         nbr_min = (
@@ -170,5 +177,7 @@ def connected_components(
             "raise max_iter for high-diameter graphs"
         )
 
+    if stats is not None:
+        stats.update(path="distributed", iterations=n_rounds)
     sym.unpersist()
     return comp

@@ -57,6 +57,21 @@ def test_consensus_names_reference_rules(spark):
     assert names["c5"] == "enzyme_B"
 
 
+def test_consensus_names_past_26_duplicates(spark):
+    """More than 26 same-named clusters: suffixes stay well-formed
+    (A..Z then numeric 27, 28, ... — ADVICE r2: char(64+n) walked into
+    '[' '\\\\' ']')."""
+    rows = [(f"c{i:02d}", "enzyme") for i in range(30)]
+    comp = cluster_composition(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["cluster_id", "entity_id"]))
+    )
+    names = [r["name"] for r in consensus_cluster_names(comp).collect()]
+    assert len(set(names)) == 30
+    assert "enzyme_A" in names and "enzyme_Z" in names
+    assert "enzyme_27" in names and "enzyme_30" in names
+    assert not any(c in n for n in names for c in "[]\\^_`"[:4])
+
+
 def test_cluster_derived_labels_threshold_and_fallback(spark):
     comp = cluster_composition(_labeled(spark))
     assignments = spark.createDataFrame(pd.DataFrame({

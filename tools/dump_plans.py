@@ -18,6 +18,7 @@ PICK = [
     "q10_semi_join",
     "q18_cosine_topk",
     "q31_fused_centroids",
+    "q35_incident_scores",
 ]
 
 
