@@ -364,14 +364,16 @@ def link_pipeline(
         # 10^12 docs it degrades gracefully to a shuffle join on key.
         comp = get_comp()
         # per-mention link confidence (VERDICT r2 #4): best incident edge
-        # score for fuzzy-merged surfaces, 1.0 for exact-key members. Both
-        # side tables are derived from the (small) edge table — AQE
-        # broadcasts them; at 10^12 rows they degrade to shuffle joins on
-        # the same key the component join already uses.
-        inc = incident_link_scores(edges)
+        # score for fuzzy-merged surfaces, 1.0 for exact-key members.
+        # Plan shape: fuse the incident-score map INTO the component map
+        # first (small ⋈ small — inc keys ⊆ comp keys, both edge-derived)
+        # so the 12.5M-row mention table is probed by ONE broadcast join,
+        # not two (a second pass measured ~+10% on the 320k 8-core wall).
+        # At 10^12 rows the single join degrades to a shuffle on the same
+        # key either way.
+        aux = comp.join(incident_link_scores(edges), "key", "left")
         m = (
-            mentions.join(comp, "key", "left")
-            .join(inc, "key", "left")
+            mentions.join(aux, "key", "left")
             .withColumn(
                 "cluster_id", F.coalesce(F.col("component"), F.col("key"))
             )
