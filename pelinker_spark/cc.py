@@ -29,6 +29,7 @@ real engine makes):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -144,6 +145,10 @@ def connected_components(
         # with step 1 contracts label chains geometrically — O(log d)
         # rounds for diameter d instead of hash-min's O(d). At a fixpoint
         # both steps are identity, so the convergence test is unchanged.
+        # prop feeds BOTH sides of the self-join below; without a persist
+        # the propagate join+agg subtree executes twice per round (its
+        # two parents join on different keys, so no exchange is reusable).
+        prop = prop.persist(StorageLevel.MEMORY_AND_DISK)
         lut = prop.select(
             F.col("key").alias("c_key"), F.col("component").alias("c_comp")
         )
@@ -164,6 +169,7 @@ def connected_components(
         # (truncating lineage) AND measures convergence in ONE action
         new_comp = new_comp.localCheckpoint(eager=False)
         n_changed = new_comp.where(F.col("changed")).count()
+        prop.unpersist()  # new_comp is materialized; the round's scratch can go
         comp = new_comp.drop("changed")
         if n_changed == 0:
             break

@@ -101,8 +101,18 @@ def validate_kb_anchors(
     anchored minority only."""
     from .mentions import kb_blocking_keys
 
-    kbk = kb_blocking_keys(kb).select(
-        "wg", "key", F.col("entity_id").alias("kb_lemma_entity_id")
+    # two KB entities whose labels normalize to the same (wg, lemma-key)
+    # would duplicate every prediction row through the left join — resolve
+    # the collision the same way the pipeline's anchor join does
+    # (deterministic min entity), but keep the full id set so a cluster
+    # anchored to the non-min duplicate still validates as exact
+    kbk = (
+        kb_blocking_keys(kb)
+        .groupBy("wg", "key")
+        .agg(
+            F.min("entity_id").alias("kb_lemma_entity_id"),
+            F.collect_set("entity_id").alias("__lemma_ids"),
+        )
     )
     out = clusters.join(F.broadcast(kbk), ["wg", "key"], "left")
 
@@ -122,13 +132,13 @@ def validate_kb_anchors(
         labels = labels.withColumn("__pat", _pattern_udf(F.col("kb_label")))
     out = out.join(F.broadcast(labels), "kb_entity_id", "left")
 
-    exact = F.col("kb_lemma_entity_id") == F.col("kb_entity_id")
+    exact = F.array_contains(F.col("__lemma_ids"), F.col("kb_entity_id"))
     valid = exact
     if fuzzy:
         valid = valid | F.regexp_like(F.lower(F.col("mention")), F.col("__pat"))
     out = out.withColumn(
         "kb_label_valid", F.coalesce(valid, F.lit(False))
-    )
+    ).drop("__lemma_ids")
     return out.drop("__pat") if fuzzy else out
 
 

@@ -47,6 +47,14 @@ class LinkConfig:
     lsh_bands: int = 4
     lsh_rows: int = 4
     max_block: int = 10
+    # compact (punctuation-stripped) channel group cap. Distinct from
+    # max_block: compact groups are exact-equality classes (high
+    # precision), so they tolerate a looser cap than probabilistic LSH
+    # buckets. Both the batch pipeline and the incremental streaming path
+    # read THIS field — a single source of truth keeps their pair sets in
+    # parity (a cap mismatch silently breaks batch-vs-incremental
+    # equivalence).
+    compact_max_block: int = 20
     # LSH candidate restriction: a surface enters the fuzzy channel only if
     # it has mention mass >= this (a singleton clean surface has nothing to
     # merge) or carries punctuation (possible typo variant of a canonical).
@@ -308,7 +316,11 @@ def link_pipeline(
             rows=cfg.lsh_rows,
             max_block=cfg.max_block,
             registry=registry,
-        ).unionByName(compact_key_pairs(surfaces, registry=registry))
+        ).unionByName(
+            compact_key_pairs(
+                surfaces, max_block=cfg.compact_max_block, registry=registry
+            )
+        )
         # prefilter BEFORE the dedup shuffle: identity-bearing digit
         # sequences must match exactly, and JW >= 0.95 bounds the length
         # difference to ~max/4 — both pure column predicates

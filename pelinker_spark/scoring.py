@@ -270,7 +270,10 @@ def _bag_prefix_bound(a: pd.Series, b: pd.Series) -> np.ndarray:
     with np.errstate(divide="ignore", invalid="ignore"):
         jaro_up = np.where(
             (m_up == 0) | (la == 0) | (lb == 0),
-            0.0,
+            # JW("","") == 1.0 (equal-string fast path) — the bound must
+            # not under-cut it, or the gate would drop a true score-1.0
+            # pair; one empty side against a non-empty one is truly 0.0
+            np.where((la == 0) & (lb == 0), 1.0, 0.0),
             (m_up / la + m_up / lb + 1.0) / 3.0,
         )
     return jaro_up + 0.1 * p * (1.0 - jaro_up)

@@ -41,8 +41,10 @@ def public_projection(clusters: DataFrame) -> DataFrame:
     sees — mention identity, span, cluster id, plus the KB anchor when the
     run had a KB."""
     cols = [c for c in PUBLIC_COLUMNS if c in clusters.columns]
-    if "kb_entity_id" in clusters.columns:
-        cols.append("kb_entity_id")
+    for c in ("kb_entity_id", "kb_label", "kb_label_valid"):
+        # present only when the run had a KB (and ran validation)
+        if c in clusters.columns:
+            cols.append(c)
     return clusters.select(*cols)
 
 
@@ -50,9 +52,14 @@ def debug_projection(clusters: DataFrame) -> DataFrame:
     """P7 debug mode: public columns plus the positional/scoring internals
     (sentence-local spans, chunk indices) for diagnostics."""
     pub = [c for c in PUBLIC_COLUMNS if c in clusters.columns]
-    if "kb_entity_id" in clusters.columns:
-        pub.append("kb_entity_id")
-    extra = [c for c in DEBUG_EXTRA_COLUMNS if c in clusters.columns]
+    for c in ("kb_entity_id", "kb_label", "kb_label_valid"):
+        if c in clusters.columns:
+            pub.append(c)
+    extra = [
+        c
+        for c in (*DEBUG_EXTRA_COLUMNS, "kb_lemma_entity_id")
+        if c in clusters.columns
+    ]
     return clusters.select(*pub, *extra)
 
 

@@ -154,15 +154,45 @@ def incremental_link_batch(
     time — pairs already emitted before a bucket went hot stay.
 
     State layout under out_dir (all batch_id-partitioned, idempotent):
-      buckets/  (key, band, bh)      — accumulated LSH membership
-      compact/  (key, ck, punct, wc) — accumulated compact forms
-      edges/    (key_a, key_b, jw, cos) — scored edges
+      buckets/       (key, band, bh)      — accumulated LSH membership
+      bucket_counts/ (band, bh, n)        — per-batch count increments
+      compact/       (key, ck, punct, wc) — accumulated compact forms
+      group_counts/  (ck, n)              — per-batch count increments
+      edges/         (key_a, key_b, jw, cos) — scored edges
+
+    Per-batch cost model (the property that keeps a long-running stream
+    from degrading): the hot caps aggregate the COUNT tables (per-batch
+    increments, one row per distinct bucket/group touched — orders of
+    magnitude smaller than membership), and the membership history is
+    probed through a semi join on THIS batch's bucket ids, so the shuffle
+    carries only history rows that can actually pair with a new key. The
+    one full-history scan per batch is the parquet read itself — at real
+    scale that is the file-source's job to prune (partition the state by
+    bucket prefix); everything after the scan is proportional to the
+    batch's blocking neighborhood, not to total state.
     """
-    from .blocking import compact_form, has_nonkey_chars, lsh_buckets
-    from .pipeline import LinkConfig, prefilter_pairs, score_pairs
+    from .pipeline import LinkConfig, score_pairs
 
     cfg = cfg or LinkConfig()
     nk = new_keys.select("key").dropDuplicates(["key"]).persist()
+    _write_incremental_state(nk, out_dir, cfg, batch_id)
+    pairs = incremental_candidate_pairs(spark, out_dir, cfg, batch_id)
+    edges = (
+        score_pairs(pairs, cfg)
+        .where(F.col("cos") >= cfg.cos_threshold)
+        .select("key_a", "key_b", "jw", "cos")
+    )
+    _write_batch(edges, f"{out_dir}/edges", batch_id)
+    nk.unpersist()
+
+
+def _write_incremental_state(
+    nk: DataFrame, out_dir: str, cfg, batch_id: int
+) -> None:
+    """Append this batch's bucket/compact membership AND the per-batch
+    count increments (idempotent batch_id partitions — a replayed batch
+    rewrites its own increments, so running totals never double-count)."""
+    from .blocking import compact_form, has_nonkey_chars, lsh_buckets
 
     wc = F.size(F.split(F.col("key"), " "))
     nk_b = lsh_buckets(nk, "key", cfg.lsh_num_hashes, cfg.lsh_bands, cfg.lsh_rows)
@@ -173,23 +203,53 @@ def incremental_link_batch(
         wc.alias("wc"),
     )
     _write_batch(nk_b, f"{out_dir}/buckets", batch_id)
+    _write_batch(
+        nk_b.groupBy("band", "bh").agg(F.count("*").alias("n")),
+        f"{out_dir}/bucket_counts",
+        batch_id,
+    )
     _write_batch(nk_c, f"{out_dir}/compact", batch_id)
+    _write_batch(
+        nk_c.groupBy("ck").agg(F.count("*").alias("n")),
+        f"{out_dir}/group_counts",
+        batch_id,
+    )
 
-    # read the accumulated state back from disk (includes this batch) —
-    # one consistent view for both the join probe and the hot caps
+
+def incremental_candidate_pairs(
+    spark: SparkSession, out_dir: str, cfg, batch_id: int
+) -> DataFrame:
+    """Candidate pairs for ONE batch of new keys against the accumulated
+    state (state for `batch_id` must already be written). Shares every cap
+    with the batch pipeline through LinkConfig — `max_block` for LSH
+    buckets, `compact_max_block` for compact groups — so a single-batch
+    run over a whole corpus enumerates exactly the batch pipeline's pair
+    set at lsh_min_mentions=1 (parity-tested at default caps)."""
+    from .pipeline import prefilter_pairs
+
     all_b = spark.read.parquet(f"{out_dir}/buckets")
     all_c = spark.read.parquet(f"{out_dir}/compact")
 
+    # hot caps from the running-count tables: accumulated size at emission
+    # time = sum of per-batch increments up to now
     ok_buckets = (
-        all_b.groupBy("band", "bh")
-        .agg(F.count("*").alias("bn"))
+        spark.read.parquet(f"{out_dir}/bucket_counts")
+        .groupBy("band", "bh")
+        .agg(F.sum("n").alias("bn"))
         .where(F.col("bn") <= cfg.max_block)
         .select("band", "bh")
     )
     nb = all_b.where(F.col("batch_id") == batch_id).join(
         ok_buckets, ["band", "bh"], "left_semi"
     )
-    ob = all_b.join(ok_buckets, ["band", "bh"], "left_semi")
+    # prune history to buckets this batch actually touched BEFORE the
+    # pair join — the semi join's build side is tiny (this batch's
+    # bucket ids), so the full-history shuffle carries only joinable rows
+    ob = all_b.join(
+        F.broadcast(nb.select("band", "bh").dropDuplicates()),
+        ["band", "bh"],
+        "left_semi",
+    )
     pairs_lsh = (
         nb.select("band", "bh", F.col("key").alias("k1"))
         .join(ob.select("band", "bh", F.col("key").alias("k2")), ["band", "bh"])
@@ -205,15 +265,18 @@ def incremental_link_batch(
     )
 
     ok_groups = (
-        all_c.groupBy("ck")
-        .agg(F.count("*").alias("gn"))
-        .where(F.col("gn") <= cfg.max_block)
+        spark.read.parquet(f"{out_dir}/group_counts")
+        .groupBy("ck")
+        .agg(F.sum("n").alias("gn"))
+        .where(F.col("gn") <= cfg.compact_max_block)
         .select("ck")
     )
     ncp = all_c.where(F.col("batch_id") == batch_id).join(
         ok_groups, "ck", "left_semi"
     )
-    ocp = all_c.join(ok_groups, "ck", "left_semi")
+    ocp = all_c.join(
+        F.broadcast(ncp.select("ck").dropDuplicates()), "ck", "left_semi"
+    )
     pairs_c = (
         ncp.select("ck", F.col("key").alias("k1"), F.col("punct").alias("p1"),
                    F.col("wc").alias("w1"))
@@ -230,17 +293,10 @@ def incremental_link_batch(
         )
     )
 
-    pairs = (
+    return (
         prefilter_pairs(pairs_lsh.unionByName(pairs_c))
         .dropDuplicates(["key_a", "key_b"])
     )
-    edges = (
-        score_pairs(pairs, cfg)
-        .where(F.col("cos") >= cfg.cos_threshold)
-        .select("key_a", "key_b", "jw", "cos")
-    )
-    _write_batch(edges, f"{out_dir}/edges", batch_id)
-    nk.unpersist()
 
 
 def finalize_incremental_link(
@@ -279,22 +335,27 @@ def run_incremental_link(
     cfg=None,
     max_files_per_trigger: int = 8,
 ) -> None:
-    """Two cooperating streaming queries over the page stream (each with
-    its own checkpoint — exactly-once file-source processing):
+    """Two CHAINED streaming queries, each with its own checkpoint
+    (exactly-once file-source processing):
 
-      1. mention ingest — per micro-batch, extract mentions and append to
-         the mention table (idempotent batch_id partitions);
-      2. incremental scoring — streaming_first_seen deduplicates surface
-         keys across batches AND restarts, and each micro-batch of
-         never-seen keys is scored against the accumulated key state
-         (incremental_link_batch) — batch 2 never re-scores batch 1's
-         vocabulary.
+      1. mention ingest — per micro-batch, extract mentions ONCE and
+         append to the mention table (idempotent batch_id partitions);
+      2. incremental scoring — a file-source stream over the mention
+         table itself (the standard multi-hop / medallion chain: the
+         sink of query 1 is the source of query 2, so page text is
+         parsed exactly once per page, not once per consumer).
+         streaming_first_seen deduplicates surface keys across batches
+         AND restarts, and each micro-batch of never-seen keys is scored
+         against the accumulated key state (incremental_link_batch) —
+         batch 2 never re-scores batch 1's vocabulary. An ingest-replay
+         rewrite of a mention partition surfaces as duplicate key rows
+         downstream; the stateful first-seen operator absorbs them.
 
     CC + cluster assignment then run as a periodic batch job
     (finalize_incremental_link)."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        m = generate_mentions(batch_df, (1, 2, 3), lang)
+        m = generate_mentions(batch_df, (1, 2, 3), lang, extra_cols=("warc_ts",))
         _write_batch(m, f"{out_dir}/mentions", batch_id)
 
     q1 = (
@@ -304,14 +365,20 @@ def run_incremental_link(
         .trigger(availableNow=True)
         .start()
     )
+    q1.awaitTermination()
 
-    mention_stream = generate_mentions(
-        stream_pages(spark, pages_dir, max_files_per_trigger).select(
-            "url", "warc_ts", "text", "lang"
-        ),
+    # schema of the mention table = generate_mentions' analyzed output
+    # schema (no job runs for this) + the batch_id partition column
+    mention_schema = generate_mentions(
+        spark.createDataFrame([], PAGE_SCHEMA),
         (1, 2, 3),
         lang,
         extra_cols=("warc_ts",),
+    ).schema.add("batch_id", "long")
+    mention_stream = (
+        spark.readStream.schema(mention_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{out_dir}/mentions")
     )
 
     def score_new(batch_df: DataFrame, batch_id: int) -> None:
@@ -324,5 +391,4 @@ def run_incremental_link(
         .trigger(availableNow=True)
         .start()
     )
-    q1.awaitTermination()
     q2.awaitTermination()

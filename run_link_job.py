@@ -43,11 +43,22 @@ def main() -> None:
                     choices=["parquet", "iceberg"])
     ap.add_argument("--output-mode", default="public",
                     choices=["public", "debug"])
+    ap.add_argument("--min-link-score", type=float, default=None,
+                    help="keep only mentions whose link_score >= this "
+                    "(mention-level P6; exact-key members score 1.0)")
+    ap.add_argument("--kb-validate", action="store_true",
+                    help="with --kb: add kb_label / kb_label_valid "
+                    "post-link validation columns to the output")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+    from pelinker_spark.kb import validate_kb_anchors
+    from pelinker_spark.pipeline import (
+        LinkConfig,
+        filter_clusters_by_score,
+        link_pipeline,
+    )
     from pelinker_spark.sinks import debug_projection, public_projection
 
     spark = SparkSession.builder.appName("pelinker-link").getOrCreate()
@@ -67,10 +78,15 @@ def main() -> None:
     res = link_pipeline(
         spark, pages, kb=kb, cfg=cfg, checkpoint_dir=args.checkpoint_dir
     )
+    clusters = res.clusters
+    if args.min_link_score is not None:
+        clusters = filter_clusters_by_score(clusters, args.min_link_score)
+    if args.kb_validate and kb is not None:
+        clusters = validate_kb_anchors(clusters, kb)
     out = (
-        public_projection(res.clusters)
+        public_projection(clusters)
         if args.output_mode == "public"
-        else debug_projection(res.clusters)
+        else debug_projection(clusters)
     )
     out.write.mode("overwrite").parquet(args.output)
     n = spark.read.parquet(args.output).count()

@@ -89,6 +89,32 @@ def test_validate_kb_anchors(spark):
     assert not strict[("strongly activated", "E2")]
 
 
+def test_validate_kb_anchors_duplicate_lemma_keys(spark):
+    """Two KB entities whose labels normalize to the SAME lemma key
+    ("activates"/"activate" → "activate") must not duplicate prediction
+    rows through the validation join, and a cluster anchored to EITHER
+    colliding entity validates as exact — not just the min-id one."""
+    from pelinker_spark.kb import validate_kb_anchors
+
+    kb = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["E1", "E3"],
+        "label": ["activates", "activate"],
+    }))
+    clusters = spark.createDataFrame(pd.DataFrame({
+        "mention": ["activates", "activate"],
+        "key": ["activate", "activate"],
+        "wg": [1, 1],
+        "kb_entity_id": ["E3", "E1"],  # anchored to EITHER duplicate
+    }))
+    rows = validate_kb_anchors(clusters, kb, fuzzy=False).collect()
+    assert len(rows) == 2  # no row duplication from the colliding kbk dim
+    by_anchor = {r["kb_entity_id"]: r for r in rows}
+    assert by_anchor["E3"]["kb_label_valid"]  # anchor is the non-min dup
+    assert by_anchor["E1"]["kb_label_valid"]
+    # the reported lemma entity resolves deterministically to the min id
+    assert by_anchor["E3"]["kb_lemma_entity_id"] == "E1"
+
+
 def test_override_join(spark):
     full = spark.createDataFrame(
         pd.DataFrame({"id": [1, 2, 3], "lbl": ["a", "b", "c"]})

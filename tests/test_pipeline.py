@@ -73,7 +73,10 @@ def test_gated_jw_scorer_parity(spark):
     rng = random.Random(3)
     vocab = "abcdefghijklmnopqrstuvwxyz -é"
     pairs = [("martha", "marhta"), ("activate", "acti-vate"), ("abc", "abc"),
-             ("kinase", "kinases"), ("é字", "é字")]
+             ("kinase", "kinases"), ("é字", "é字"),
+             # empty-string corners: JW("","") == 1.0 (equal fast path)
+             # must survive the gate; one-sided empties are truly 0.0
+             ("", ""), ("", "abc"), ("abc", "")]
     for _ in range(400):
         a = "".join(rng.choice(vocab) for _ in range(rng.randint(1, 15)))
         b = list(a)

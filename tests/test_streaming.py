@@ -86,7 +86,7 @@ def test_incremental_scoring_uses_first_seen_feed(spark, tmp_path):
     # batches — the exact-parity regime (the cap-at-emission-time
     # difference under hot buckets is documented on
     # incremental_link_batch)
-    cfg = LinkConfig(lsh_min_mentions=1, max_block=2000)
+    cfg = LinkConfig(lsh_min_mentions=1, max_block=2000, compact_max_block=2000)
     run_incremental_link(
         spark, pages_dir, out, ck, cfg=cfg, max_files_per_trigger=1
     )
@@ -130,6 +130,48 @@ def test_incremental_scoring_uses_first_seen_feed(spark, tmp_path):
     }
     assert a == b
     res.unpersist()
+
+
+def test_incremental_compact_cap_matches_batch(spark, tmp_path):
+    """Both paths read the compact-channel cap from the SAME LinkConfig
+    field: a compact group sized between max_block (10) and
+    compact_max_block (20) pairs in both, and a single-batch incremental
+    run enumerates exactly the batch pair set at DEFAULT caps (the regime
+    the end-to-end parity test can't cover because it lifts the caps)."""
+    from pelinker_spark.blocking import compact_key_pairs, lsh_candidate_pairs
+    from pelinker_spark.pipeline import LinkConfig, prefilter_pairs
+    from pelinker_spark.streaming import (
+        _write_incremental_state,
+        incremental_candidate_pairs,
+    )
+
+    cfg = LinkConfig()
+    word = "identifier"
+    # 15 hyphen-position variants + the clean form: ONE compact group of
+    # size 15 — above the LSH cap, below the compact cap
+    keys = [word] + [word[:i] + "-" + word[i:] for i in range(1, 15)]
+    surfaces = spark.createDataFrame([(k,) for k in keys], "key string")
+
+    batch_pairs = prefilter_pairs(
+        lsh_candidate_pairs(
+            surfaces,
+            num_hashes=cfg.lsh_num_hashes,
+            bands=cfg.lsh_bands,
+            rows=cfg.lsh_rows,
+            max_block=cfg.max_block,
+        ).unionByName(
+            compact_key_pairs(surfaces, max_block=cfg.compact_max_block)
+        )
+    ).dropDuplicates(["key_a", "key_b"])
+
+    out = str(tmp_path / "inc_state")
+    _write_incremental_state(surfaces, out, cfg, 0)
+    inc_pairs = incremental_candidate_pairs(spark, out, cfg, 0)
+
+    a = {(r.key_a, r.key_b) for r in batch_pairs.collect()}
+    b = {(r.key_a, r.key_b) for r in inc_pairs.collect()}
+    assert a == b
+    assert a, "the 15-key compact group must produce pairs at default caps"
 
 
 def test_streaming_first_seen_stateful(spark, tmp_path):
