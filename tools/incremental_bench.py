@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Incremental-vs-batch linking benchmark.
+
+Synthesizes a page corpus as K separate drops (files), runs the chained
+incremental pipeline (run_incremental_link: single-extraction ingest →
+first-seen feed → per-batch scoring against accumulated state →
+finalize), then the batch pipeline on the same corpus, and prints one
+JSON line with both walls, per-batch edge/bucket growth, and cluster
+counts.
+
+Cluster counts may differ slightly from batch mode under DEFAULT caps:
+the incremental hot-bucket cap applies to the accumulated size at
+emission time (pairs emitted before a bucket went hot stay), while batch
+mode drops hot blocks wholesale — the documented append-only-stream
+semantics (streaming.incremental_link_batch).
+
+Usage: python tools/incremental_bench.py <cores> <n_pages> <n_drops>
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def load1() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    n_drops = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+
+    from pyspark.sql import functions as F
+
+    from pelinker_spark.pipeline import LinkConfig, link_pipeline
+    from pelinker_spark.session import get_spark
+    from pelinker_spark.streaming import (
+        finalize_incremental_link,
+        run_incremental_link,
+    )
+    from pelinker_spark.synth import web_pages
+
+    spark = get_spark(f"incbench_{cores}", cores=cores, shuffle_partitions=cores)
+    tmp = tempfile.mkdtemp(prefix="pel_incbench_")
+    pages_dir = f"{tmp}/pages"
+    out = f"{tmp}/out"
+    ck = f"{tmp}/ck"
+    try:
+        # K deterministic drops, one file each → K ingest micro-batches at
+        # maxFilesPerTrigger=1 (disjoint seeds ≈ disjoint crawl slices)
+        per = n_pages // n_drops
+        for d in range(n_drops):
+            web_pages(
+                spark, per, seed=100 + d, n_entities=200, partitions=8
+            ).coalesce(1).write.mode("append").parquet(pages_dir)
+
+        # warm-up (JIT + UDF workers), excluded
+        wp = web_pages(spark, 2000, seed=7, n_entities=50, partitions=8)
+        w = link_pipeline(spark, wp, cfg=LinkConfig())
+        w.clusters.count()
+        w.unpersist()
+
+        la = load1()
+        t0 = time.monotonic()
+        run_incremental_link(
+            spark, pages_dir, out, ck, max_files_per_trigger=1
+        )
+        inc_clusters = (
+            finalize_incremental_link(spark, out)
+            .select("cluster_id")
+            .distinct()
+            .count()
+        )
+        inc_sec = time.monotonic() - t0
+        lb = load1()
+
+        per_batch = [
+            {
+                "batch": r["batch_id"],
+                "new_keys": r["nk"],
+                "edges": r["ne"],
+            }
+            for r in (
+                spark.read.parquet(f"{out}/buckets")
+                .groupBy("batch_id")
+                .agg(F.count_distinct("key").alias("nk"))
+                .join(
+                    spark.read.parquet(f"{out}/edges")
+                    .groupBy("batch_id")
+                    .agg(F.count("*").alias("ne")),
+                    "batch_id",
+                    "left",
+                )
+                .orderBy("batch_id")
+                .collect()
+            )
+        ]
+
+        lc = load1()
+        t0 = time.monotonic()
+        res = link_pipeline(spark, spark.read.parquet(pages_dir), cfg=LinkConfig())
+        batch_clusters = res.clusters.select("cluster_id").distinct().count()
+        batch_sec = time.monotonic() - t0
+        ld = load1()
+        res.unpersist()
+
+        print(
+            json.dumps(
+                {
+                    "cores": cores,
+                    "n_pages": per * n_drops,
+                    "n_drops": n_drops,
+                    "incremental_sec": round(inc_sec, 2),
+                    "batch_sec": round(batch_sec, 2),
+                    "inc_clusters": inc_clusters,
+                    "batch_clusters": batch_clusters,
+                    "per_batch": per_batch,
+                    "loads": [la, lb, lc, ld],
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

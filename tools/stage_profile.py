@@ -56,24 +56,49 @@ def main() -> None:
     surfaces, ns = tick("surfaces", surface_table(mentions))
     from pelinker_spark.pipeline import prefilter_pairs
 
+    from pelinker_spark.blocking import has_nonkey_chars
+
     linkable = surfaces
     if cfg.lsh_min_mentions > 1:
+        # translate-gated, same as the pipeline — the rlike form measured
+        # ~38s at 12.5M surfaces/8c and misattributed it to pair cost
         linkable = surfaces.where(
             (F.col("n_mentions") >= cfg.lsh_min_mentions)
-            | F.col("key").rlike("[^a-z0-9 ]")
+            | has_nonkey_chars(F.col("key"))
         )
+    # sub-ticks inside pair generation (each materialized separately, so
+    # the per-substage walls overlap the combined "pairs" number of the
+    # coarse profile but localize the cost)
+    from pelinker_spark.blocking import lsh_buckets
+
+    linkable, nl = tick("pairs/linkable", linkable)
+    buckets, nb = tick(
+        "pairs/lsh_buckets",
+        lsh_buckets(
+            linkable, "key", cfg.lsh_num_hashes, cfg.lsh_bands, cfg.lsh_rows
+        ),
+    )
+    lshp, nlp = tick(
+        "pairs/lsh_pairs",
+        lsh_candidate_pairs(
+            linkable,
+            num_hashes=cfg.lsh_num_hashes,
+            bands=cfg.lsh_bands,
+            rows=cfg.lsh_rows,
+            max_block=cfg.max_block,
+        ),
+    )
+    compp, ncp = tick("pairs/compact_pairs", compact_key_pairs(surfaces))
     pairs, np_ = tick(
         "pairs",
-        prefilter_pairs(
-            lsh_candidate_pairs(
-                linkable,
-                num_hashes=cfg.lsh_num_hashes,
-                bands=cfg.lsh_bands,
-                rows=cfg.lsh_rows,
-                max_block=cfg.max_block,
-            ).unionByName(compact_key_pairs(surfaces))
-        ).dropDuplicates(["key_a", "key_b"]),
+        prefilter_pairs(lshp.unionByName(compp)).dropDuplicates(
+            ["key_a", "key_b"]
+        ),
     )
+    rows_sub = {
+        "linkable": nl, "bucket_rows": nb, "lsh_pairs": nlp,
+        "compact_pairs": ncp,
+    }
     scored, _ = tick("scored", score_pairs(pairs, cfg))
     edges, ne = tick(
         "edges",
@@ -90,7 +115,7 @@ def main() -> None:
     nc = clusters.count()
     t["cc+clusters"] = round(time.monotonic() - t0, 1)
     t["TOTAL"] = round(time.monotonic() - T0, 1)
-    print(json.dumps({"cores": cores, "stages": t, "rows": {"mentions": nm, "surfaces": ns, "pairs": np_, "edges": ne, "clusters": nc}}))
+    print(json.dumps({"cores": cores, "stages": t, "rows": {"mentions": nm, "surfaces": ns, "pairs": np_, "edges": ne, "clusters": nc}, "rows_sub": rows_sub}))
 
 
 if __name__ == "__main__":
