@@ -60,6 +60,19 @@ def main() -> None:
     # warm the JVM/Arrow paths once so per-query numbers measure the plan,
     # not first-call initialization
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ... and the parquet footers/codec paths of every table the headline
+    # queries scan — otherwise the FIRST two timed queries absorb the
+    # session's one-time footer reads and JIT of the scan operators
+    # (measured ~1s+ each on q01/q02 at sf0.1), which is warm-up, not plan
+    # cost. A limit(1) per table reads footers + one row group.
+    t0 = time.monotonic()
+    for tbl in ("lineitem", "orders", "part", "events", "documents",
+                "embeddings"):
+        try:
+            spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").limit(1).count()
+        except Exception:
+            pass  # absent table: the query that needs it will fail loudly
+    timings["warmup_scans"] = round(time.monotonic() - t0, 3)
 
     l0 = _load1()
     for name in HEADLINE:
