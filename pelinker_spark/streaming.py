@@ -412,9 +412,16 @@ def run_incremental_link(
         def score_new(batch_df: DataFrame, batch_id: int) -> None:
             nk = batch_df.select("key").dropDuplicates(["key"])
             if os.path.isdir(f"{out_dir}/buckets"):
+                # every key has exactly ONE band-0 row, so the band filter
+                # makes this a one-row-per-seen-key, key-column-pruned scan
+                # (row-group stats prune the other bands) instead of a
+                # bands-times-larger read per micro-batch
                 seen = (
                     spark.read.parquet(f"{out_dir}/buckets")
-                    .where(F.col("batch_id") < F.lit(batch_id))
+                    .where(
+                        (F.col("batch_id") < F.lit(batch_id))
+                        & (F.col("band") == 0)
+                    )
                     .select("key")
                 )
                 nk = nk.join(seen, "key", "left_anti")
