@@ -66,8 +66,8 @@ def main() -> None:
     # (measured ~1s+ each on q01/q02 at sf0.1), which is warm-up, not plan
     # cost. A limit(1) per table reads footers + one row group.
     t0 = time.monotonic()
-    for tbl in ("lineitem", "orders", "part", "events", "documents",
-                "embeddings"):
+    for tbl in ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings"):
         try:
             spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").limit(1).count()
         except Exception:

@@ -159,8 +159,12 @@ def jw_upper_bound_col(a: Column, b: Column,
         F.length(F.translate(b, alphabet, "")),
     )
     bd = bag.cast("double")
-    jaro_up = F.when(bag == 0, F.lit(0.0)).otherwise(
-        (bd / la + bd / lb + F.lit(1.0)) / F.lit(3.0)
+    # JW("","") == 1.0 (equal-string fast path) — same corner as
+    # _bag_prefix_bound: the bound must not undercut it
+    jaro_up = (
+        F.when((la == 0) & (lb == 0), F.lit(1.0))
+        .when(bag == 0, F.lit(0.0))
+        .otherwise((bd / la + bd / lb + F.lit(1.0)) / F.lit(3.0))
     )
     p = (
         F.when(F.substring(a, 1, 4) == F.substring(b, 1, 4), F.lit(4))

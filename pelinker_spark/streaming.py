@@ -116,6 +116,16 @@ def streaming_first_seen(
     )
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence check via the Hadoop FileSystem API.
+    os.path only sees the driver's local disk — on a real cluster the
+    state dirs live on HDFS/S3, where a driver-local isdir is always
+    False and would silently skip scoring or the seen-key anti-join."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(jpath)
+
+
 def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
     """Idempotent per-batch append: partition by batch_id with dynamic
     partition overwrite, so a foreachBatch replay (streaming checkpoint
@@ -243,12 +253,12 @@ def incremental_candidate_pairs(
         ok_buckets, ["band", "bh"], "left_semi"
     )
     # prune history to buckets this batch actually touched BEFORE the
-    # pair join — the semi join's build side is tiny (this batch's
-    # bucket ids), so the full-history shuffle carries only joinable rows
+    # pair join, so the full-history shuffle carries only joinable rows.
+    # No broadcast hint: a "batch" can legitimately be a whole corpus
+    # (single-drop runs, the parity test), making this set unbounded —
+    # AQE broadcasts it when it is actually small
     ob = all_b.join(
-        F.broadcast(nb.select("band", "bh").dropDuplicates()),
-        ["band", "bh"],
-        "left_semi",
+        nb.select("band", "bh").dropDuplicates(), ["band", "bh"], "left_semi"
     )
     pairs_lsh = (
         nb.select("band", "bh", F.col("key").alias("k1"))
@@ -274,9 +284,7 @@ def incremental_candidate_pairs(
     ncp = all_c.where(F.col("batch_id") == batch_id).join(
         ok_groups, "ck", "left_semi"
     )
-    ocp = all_c.join(
-        F.broadcast(ncp.select("ck").dropDuplicates()), "ck", "left_semi"
-    )
+    ocp = all_c.join(ncp.select("ck").dropDuplicates(), "ck", "left_semi")
     pairs_c = (
         ncp.select("ck", F.col("key").alias("k1"), F.col("punct").alias("p1"),
                    F.col("wc").alias("w1"))
@@ -307,11 +315,9 @@ def finalize_incremental_link(
     accumulated mention table — the same cluster assignment as
     link_pipeline's (iterative CC cannot run inside a streaming query;
     SURVEY.md §2.10 lambda split)."""
-    import os
-
     from .cc import connected_components
 
-    if not os.path.isdir(f"{out_dir}/edges"):
+    if not _fs_exists(spark, f"{out_dir}/edges"):
         m = spark.read.parquet(f"{out_dir}/mentions")
         return m.withColumn("cluster_id", F.col("key"))
     edges = spark.read.parquet(f"{out_dir}/edges").dropDuplicates(
@@ -382,9 +388,7 @@ def run_incremental_link(
     )
     q1.awaitTermination()
 
-    import os
-
-    if not os.path.isdir(f"{out_dir}/mentions"):
+    if not _fs_exists(spark, f"{out_dir}/mentions"):
         return  # empty first drop: nothing ingested, nothing to score
 
     # schema of the mention table = generate_mentions' analyzed output
@@ -411,7 +415,7 @@ def run_incremental_link(
 
         def score_new(batch_df: DataFrame, batch_id: int) -> None:
             nk = batch_df.select("key").dropDuplicates(["key"])
-            if os.path.isdir(f"{out_dir}/buckets"):
+            if _fs_exists(spark, f"{out_dir}/buckets"):
                 # every key has exactly ONE band-0 row, so the band filter
                 # makes this a one-row-per-seen-key, key-column-pruned scan
                 # (row-group stats prune the other bands) instead of a

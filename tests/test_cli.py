@@ -12,8 +12,11 @@ import pandas as pd
 
 
 def _load_cli():
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
-        "run_link_job", "/root/repo/run_link_job.py"
+        "run_link_job", os.path.join(repo, "run_link_job.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)

@@ -40,6 +40,8 @@ def test_jw_upper_bound_sound(spark):
         ("martha", "marhta"), ("activate", "acti-vate"), ("abc", "abc"),
         ("abc", "xyz"), ("kinase", "kinases"), ("a", "a b c"),
         ("strongly activate", "strongly activat-e"), ("é字", "é字x"),
+        # empty corners: JW("","") == 1.0 must not be under-cut
+        ("", ""), ("", "abc"), ("abc", ""),
     ]
     for _ in range(300):
         a = "".join(rng.choice(vocab) for _ in range(rng.randint(1, 20)))

@@ -174,6 +174,38 @@ def test_incremental_compact_cap_matches_batch(spark, tmp_path):
     assert a, "the 15-key compact group must produce pairs at default caps"
 
 
+def test_incremental_stateful_variant_matches_default(spark, tmp_path):
+    """run_incremental_link's two first-seen implementations (anti-join
+    default vs applyInPandasWithState) must produce the same edge set on
+    the same drops."""
+    from pelinker_spark.streaming import run_incremental_link
+
+    pages_dir = str(tmp_path / "pages_v")
+    web_pages(spark, 120, seed=42, n_entities=15, partitions=2).coalesce(
+        1
+    ).write.mode("append").parquet(pages_dir)
+    web_pages(spark, 120, seed=77, n_entities=15, partitions=2).coalesce(
+        1
+    ).write.mode("append").parquet(pages_dir)
+
+    edge_sets = {}
+    for variant, flag in (("anti", False), ("stateful", True)):
+        out = str(tmp_path / f"out_{variant}")
+        ck = str(tmp_path / f"ck_{variant}")
+        run_incremental_link(
+            spark, pages_dir, out, ck,
+            max_files_per_trigger=1, use_stateful_first_seen=flag,
+        )
+        edge_sets[variant] = {
+            (r["key_a"], r["key_b"])
+            for r in spark.read.parquet(f"{out}/edges")
+            .select("key_a", "key_b")
+            .collect()
+        }
+    assert edge_sets["anti"] == edge_sets["stateful"]
+    assert edge_sets["anti"]  # non-trivial: some edges were scored
+
+
 def test_streaming_first_seen_stateful(spark, tmp_path):
     """applyInPandasWithState: a key is emitted exactly once across
     micro-batches AND across query restarts (state-store resume)."""

@@ -88,7 +88,10 @@ def main() -> None:
             max_block=cfg.max_block,
         ),
     )
-    compp, ncp = tick("pairs/compact_pairs", compact_key_pairs(surfaces))
+    compp, ncp = tick(
+        "pairs/compact_pairs",
+        compact_key_pairs(surfaces, max_block=cfg.compact_max_block),
+    )
     pairs, np_ = tick(
         "pairs",
         prefilter_pairs(lshp.unionByName(compp)).dropDuplicates(
