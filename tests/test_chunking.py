@@ -74,3 +74,30 @@ def test_token_counts(spark):
     # "a-b c3d! e" -> a,-,b,c,3,d,!,e = 8 BPE-ish tokens / 3 ws tokens
     assert r[1]["ws"] == 3 and r[1]["bpe"] == 8
     assert r[2]["ws"] == 0 and r[2]["bpe"] == 0
+
+
+def test_char_budget_random_unicode(spark):
+    """Byte identity + cap over a randomized corpus (mixed unicode,
+    pathological whitespace runs) at several budgets, incl. a tiny one
+    where nearly every token needs a hard cut."""
+    import random
+
+    rng = random.Random(77)
+    alphabets = [
+        "abc def  ",
+        "àéî 日本語  中文 ",
+        "a-b.c,d;e  !? ",
+        "  x y ",  # exotic spaces are CONTENT, not separators
+    ]
+    texts = [
+        "".join(rng.choice(rng.choice(alphabets)) for _ in range(rng.randint(0, 120)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    for budget in (3, 17, 80):
+        out = df.select(
+            "text", split_char_budget(F.col("text"), budget).alias("chunks")
+        ).toPandas()
+        for _, r in out.iterrows():
+            assert "".join(r.chunks) == r.text, (budget, r.text)
+            assert all(len(c) <= budget for c in r.chunks), (budget, r.text)
