@@ -8,7 +8,7 @@ content-derived (md5/xxhash64), never RNG; every function is a pure plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .blocking import minhash_signatures_agg

@@ -50,7 +50,6 @@ def main() -> None:
 
     # compact-channel blocking: the |surfaces| side must be probed by a
     # BROADCAST semi join, never shuffled whole (round-2 rewrite)
-    from pyspark.sql import functions as F
 
     from pelinker_spark.blocking import compact_key_pairs
     from pelinker_spark.pipeline import surface_table
@@ -62,7 +61,7 @@ def main() -> None:
 
     # cluster assignment: mentions left-join the SMALL edge-key component
     # map (broadcast under AQE) + coalesce — not a join on all surfaces
-    from pelinker_spark.cc import connected_components
+
     from pelinker_spark.pipeline import LinkConfig, link_pipeline
 
     res = link_pipeline(spark, pages, cfg=LinkConfig())

@@ -15,7 +15,6 @@ Usage: python tools/scaling_collect.py <pages_dir> [--levels 2,8]
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import subprocess
 import sys
