@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import input_identity, run_fingerprint
+from .fsio import fs_exists, fs_mkdirs, fs_write_text_atomic
 from .gridsearch import (
     aggregate_grid_metrics,
     evaluate_threshold_grid,
@@ -126,7 +127,10 @@ def _run_units(
             fp = run_fingerprint({**cfg_dict, "draw": draw}, input_id)
             path = os.path.join(root, f"unit={fp}")
             unit_paths.append(path)
-            if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # Hadoop-FS existence (fsio): on HDFS/S3 a driver-local
+            # os.path.exists is always False and every finished unit would
+            # silently re-run on resume (VERDICT r3 #1)
+            if fs_exists(spark, os.path.join(path, "_SUCCESS")):
                 continue  # completed-set resume: skip finished work units
             rows = evaluate_unit(spark, pages, gold, cfg, draw, thresholds)
             unit_df = spark.createDataFrame(
@@ -188,7 +192,7 @@ def model_selection_run(
     Returns {"units", "leaderboard", "winner", "solved",
     "fusion_candidates", "fused_config_ids", "report_paths"}."""
     thresholds = thresholds or [0.85, 0.9, 0.95]
-    os.makedirs(root, exist_ok=True)
+    fs_mkdirs(spark, root)
     input_id = input_identity(pages)
 
     singleton_jobs = [(_config_id(d), d) for d in configs]
@@ -286,8 +290,11 @@ def write_selection_report(root: str, result: dict) -> dict[str, str]:
         "fused_config_ids": result["fused_config_ids"],
     }
     summary_path = os.path.join(root, "run_summary.json")
-    tmp = summary_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(summary, fh, indent=2, sort_keys=True, default=str)
-    os.replace(tmp, summary_path)  # atomic publish (S8 discipline)
+    # S8 atomic publish through the Hadoop FS (tmp+rename works on
+    # hdfs://-style roots, where a local open() would fail outright)
+    fs_write_text_atomic(
+        result["leaderboard"].sparkSession,
+        summary_path,
+        json.dumps(summary, indent=2, sort_keys=True, default=str),
+    )
     return {"leaderboard": lb_path, "run_summary": summary_path}

@@ -117,13 +117,13 @@ def streaming_first_seen(
 
 
 def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Filesystem-agnostic existence check via the Hadoop FileSystem API.
-    os.path only sees the driver's local disk — on a real cluster the
-    state dirs live on HDFS/S3, where a driver-local isdir is always
-    False and would silently skip scoring or the seen-key anti-join."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs.exists(jpath)
+    """Filesystem-agnostic existence check — shared fsio helper (os.path
+    only sees the driver's local disk; on a real cluster the state dirs
+    live on HDFS/S3, where a driver-local isdir is always False and would
+    silently skip scoring or the seen-key anti-join)."""
+    from .fsio import fs_exists
+
+    return fs_exists(spark, path)
 
 
 def _write_batch(df: DataFrame, path: str, batch_id: int) -> None:
