@@ -2,16 +2,20 @@
 typed metadata, plus the Spark-side plumbing for decode / feature-extract /
 resize / frame-sample.
 
-The decode bodies are STUBS (this container has no image/audio codecs —
-clearly marked below); everything Spark-level is real and tested: schemas,
-Arrow batch shapes, mapInPandas signatures, partitioning, and the
-deterministic fake decoder used by tests. Swapping a stub body for
-PIL/ffmpeg changes nothing else.
+Uncompressed formats decode NATIVELY (pure byte parsing, no codecs): WAV
+PCM audio, PPM (P6) and 24-bit BMP images — `_decode_real` handles these
+end-to-end, and `synth_media` emits real WAV/PPM payloads so the real
+path is round-trip tested. Compressed formats (PNG/JPEG/MP4) still raise
+NotImplementedError — those genuinely need PIL/ffmpeg, absent in this
+container; everything Spark-level around them (schemas, Arrow batch
+shapes, mapInPandas signatures, partitioning) is identical, so swapping
+in a codec body changes nothing else.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -41,8 +45,11 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table — payload bytes derive from
-    (seed, id) so decode stubs can verify round-trips."""
+    """Deterministic media table. Image and audio payloads are REAL
+    encoded bytes (binary PPM, PCM16 WAV — both decode natively in
+    `_decode_real`, round-trip tested); video stays an opaque fake mp4
+    payload (compressed container, codec-gated). All content derives from
+    (seed, id), so any partitioning yields identical rows."""
     rng = spark.range(n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -55,19 +62,38 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                     hashlib.md5(f"{seed}:media:{i}".encode()).digest()[:8], "big"
                 )
                 kind = kinds[h % 3]
-                payload = hashlib.md5(f"{seed}:payload:{i}".encode()).digest() * (
-                    2 + h % 6
-                )
+                prng = np.random.RandomState(h % (2**31))
+                if kind == "image":
+                    w, ht = 4 + h % 13, 4 + (h >> 8) % 13
+                    payload = encode_ppm(
+                        prng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8)
+                    )
+                    mime, width, height, dur = (
+                        "image/x-portable-pixmap", w, ht, None,
+                    )
+                elif kind == "audio":
+                    n_samp, rate = 32 + h % 97, 8000
+                    payload = encode_wav_pcm16(
+                        prng.uniform(-1, 1, size=n_samp), rate
+                    )
+                    mime, width, height = "audio/wav", None, None
+                    dur = int(n_samp * 1000 / rate)
+                else:
+                    payload = hashlib.md5(
+                        f"{seed}:payload:{i}".encode()
+                    ).digest() * (2 + h % 6)
+                    mime = "video/mp4"
+                    width, height = 64 + h % 512, 64 + (h >> 8) % 512
+                    dur = (h >> 4) % 60000
                 rows.append(
                     {
                         "media_id": i,
                         "kind": kind,
                         "payload": payload,
-                        "mime": {"image": "image/png", "audio": "audio/wav",
-                                 "video": "video/mp4"}[kind],
-                        "width": 64 + h % 512 if kind != "audio" else None,
-                        "height": 64 + (h >> 8) % 512 if kind != "audio" else None,
-                        "duration_ms": (h >> 4) % 60000 if kind != "image" else None,
+                        "mime": mime,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": dur,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
@@ -75,11 +101,120 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     return rng.mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV writer (RIFF/WAVE/fmt/data) — stdlib struct
+    only. `samples` are floats in [-1, 1]."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block-align, bits
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Binary PPM (P6) writer; `rgb` is uint8 (H, W, 3)."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        rgb, dtype=np.uint8
+    ).tobytes()
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF chunk walk → (1, 1, n_samples) float32 in [-1, 1] (channels
+    averaged). PCM 8/16-bit only — compressed WAV raises."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_ch, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack(
+            "<I", payload[pos + 4 : pos + 8]
+        )[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch = struct.unpack("<HH", body[:4])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV audio format {audio_fmt} is compressed; only PCM "
+                    "decodes natively"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_ch is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x.reshape(1, 1, -1)
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (1, H, W) float32 grayscale in [0, 1] (RGB
+    averaged). Whitespace/comment-tolerant header scan."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    img = raster.reshape(h, w, 3).astype(np.float32) / float(maxval)
+    return img.mean(axis=2)[None, :, :]
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up rows padded
+    to 4 bytes) → (1, H, W) float32 grayscale in [0, 1]."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp, compression = struct.unpack("<HI", payload[28:34])
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes natively (got {bpp}bpp, "
+            f"compression={compression})"
+        )
+    row_bytes = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(abs(h)):
+        off = data_off + r * row_bytes
+        rows.append(np.frombuffer(payload, np.uint8, count=w * 3, offset=off))
+    img = np.stack(rows[::-1] if h > 0 else rows).reshape(abs(h), w, 3)
+    return (img.astype(np.float32) / 255.0).mean(axis=2)[None, :, :]
+
+
 def _decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """STUB — real decode requires PIL/ffmpeg, absent in this container.
-    The engine-level contract is: bytes → (frames, H, W) float array."""
+    """bytes → (frames, H, W) float array. Uncompressed formats parse
+    natively (stdlib struct + numpy, no codecs); compressed mimes raise —
+    swapping in PIL/ffmpeg here changes nothing Spark-side."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return _decode_wav(bytes(payload))
+    if mime in ("image/x-portable-pixmap", "image/ppm"):
+        return _decode_ppm(bytes(payload))
+    if mime == "image/bmp":
+        return _decode_bmp(bytes(payload))
     raise NotImplementedError(
-        "media codecs not available in this environment; "
+        f"{mime} requires codecs not available in this environment; "
         "swap in PIL/ffmpeg here — the Spark plumbing is unchanged"
     )
 

@@ -116,7 +116,10 @@ def cluster_cosine_std(
         ]
     )
 
-    def per_cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # fully-annotated signature: pyspark infers the (key, pdf) eval type
+    # from the hints; a partially-hinted function triggers a per-plan
+    # "cannot infer eval type" UserWarning and falls back to arity sniffing
+    def per_cluster(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         x = np.vstack(pdf[vec_col].to_numpy()).astype(float)
         n = len(x)
         if n < 2:
