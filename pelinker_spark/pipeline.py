@@ -72,6 +72,13 @@ class LinkConfig:
     # eager barrier after the surface groupBy (see link_pipeline); off only
     # for plan-shape experiments — was a module-global test hook before
     surface_barrier: bool = True
+    # incremental-state bucketing fanout: buckets/ and compact/ state is
+    # partitioned by pmod(xxhash64(bh|ck), state_prefixes) so a
+    # micro-batch's history probe prunes at the FILE SOURCE (only
+    # partitions holding prefixes the batch touched are read) instead of
+    # scanning all accumulated membership per batch. Shared through
+    # LinkConfig for the same parity reason as the caps above.
+    state_prefixes: int = 64
 
     def as_dict(self) -> dict:
         return asdict(self)

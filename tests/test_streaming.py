@@ -256,3 +256,53 @@ def test_streaming_first_seen_stateful(spark, tmp_path):
         generate_mentions(pages, (1, 2, 3), "en").select("key").distinct().count()
     )
     assert out2.count() == expect_keys
+
+
+def test_state_prefix_pruning(spark, tmp_path):
+    """VERDICT r3 #3: membership state is partitioned by a bucket-hash
+    prefix, and a batch's history read scans ONLY the prefixes it
+    touched — proportional to the batch's blocking neighborhood, not to
+    accumulated history. A wide batch 0 then a single-key batch 1: batch
+    1's pruned scan must be a small slice of history, while candidate
+    pairing still sees every cross-batch partner (pair correctness is
+    unaffected by the pruning)."""
+    from pelinker_spark.pipeline import LinkConfig
+    from pelinker_spark.streaming import (
+        _pruned_state,
+        _write_incremental_state,
+        incremental_candidate_pairs,
+    )
+
+    cfg = LinkConfig(state_prefixes=64, lsh_min_mentions=1)
+    # batch 0: 400 distinct random-ish words → buckets spread over many
+    # prefixes; batch 1: one typo variant of a known batch-0 word
+    base = [f"surface{i:04d} term{i % 97}" for i in range(400)] + ["activate"]
+    out = str(tmp_path / "pstate")
+    b0 = spark.createDataFrame([(k,) for k in base], "key string")
+    _write_incremental_state(b0, out, cfg, 0)
+    b1 = spark.createDataFrame([("acti-vate",)], "key string")
+    _write_incremental_state(b1, out, cfg, 1)
+
+    full = spark.read.parquet(f"{out}/buckets")
+    pruned = _pruned_state(spark, f"{out}/buckets", 1)
+    n_full, n_pruned = full.count(), pruned.count()
+    # one key touches at most lsh_bands + punct-channel prefixes; with 64
+    # prefixes over 401 keys the untouched majority must be skipped
+    assert n_pruned < n_full / 4, (n_pruned, n_full)
+    # and the physical scan prunes at the source: files actually touched
+    # by the pruned read are a strict subset of the state files (the
+    # partition filter reaches the file index; inputFiles() can't show
+    # this — it lists the relation's roots before partition pruning)
+    import pyspark.sql.functions as _F
+
+    read_files = {
+        r["f"]
+        for r in pruned.select(_F.input_file_name().alias("f")).distinct().collect()
+    }
+    all_files = set(full.inputFiles())
+    assert read_files and len(read_files) < len(all_files) / 4
+
+    # pairing across batches still works through the pruned read
+    pairs = incremental_candidate_pairs(spark, out, cfg, 1)
+    got = {(r.key_a, r.key_b) for r in pairs.collect()}
+    assert ("acti-vate", "activate") in got

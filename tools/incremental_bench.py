@@ -14,7 +14,13 @@ emission time (pairs emitted before a bucket went hot stay), while batch
 mode drops hot blocks wholesale — the documented append-only-stream
 semantics (streaming.incremental_link_batch).
 
-Usage: python tools/incremental_bench.py <cores> <n_pages> <n_drops>
+Per-batch `scanned_rows` vs `history_rows` reconstructs the file-source
+pruning receipt (VERDICT r3 #3): the scorer reads only bucket-state
+partitions whose pfx the batch touched, so scanned ~ blocking
+neighborhood, not total accumulated state.
+
+Usage: python tools/incremental_bench.py <cores> <n_pages> <n_drops> [K]
+(K = state_prefixes fanout; default LinkConfig's 64)
 """
 
 from __future__ import annotations
@@ -36,6 +42,7 @@ def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
     n_drops = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    k_pfx = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     from pyspark.sql import functions as F
 
@@ -67,10 +74,11 @@ def main() -> None:
         w.clusters.count()
         w.unpersist()
 
+        cfg = LinkConfig(**({"state_prefixes": k_pfx} if k_pfx else {}))
         la = load1()
         t0 = time.monotonic()
         run_incremental_link(
-            spark, pages_dir, out, ck, max_files_per_trigger=1
+            spark, pages_dir, out, ck, cfg=cfg, max_files_per_trigger=1
         )
         inc_clusters = (
             finalize_incremental_link(spark, out)
@@ -102,6 +110,26 @@ def main() -> None:
                 .collect()
             )
         ]
+
+        # File-source pruning receipt: for each batch, rows the scorer's
+        # history read actually scanned (pfx dirs the batch touched, up to
+        # and including this batch) vs the full accumulated history at
+        # that point. scanned/history ~ touched-neighborhood fraction.
+        buckets = spark.read.parquet(f"{out}/buckets").select(
+            "batch_id", "pfx"
+        ).persist()
+        for pb in per_batch:
+            b = pb["batch"]
+            touched = [
+                r["pfx"]
+                for r in buckets.where(F.col("batch_id") == b)
+                .select("pfx").distinct().collect()
+            ]
+            hist = buckets.where(F.col("batch_id") <= b)
+            pb["touched_pfx"] = len(touched)
+            pb["scanned_rows"] = hist.where(F.col("pfx").isin(touched)).count()
+            pb["history_rows"] = hist.count()
+        buckets.unpersist()
 
         lc = load1()
         t0 = time.monotonic()
