@@ -56,6 +56,48 @@ def _driver_union_find(edge_rows: list[tuple[str, str]]) -> list[tuple[str, str]
     return [(k, find(k)) for k in set(parent) | {b for _, b in edge_rows} | {a for a, _ in edge_rows}]
 
 
+def _driver_union_find_np(ka, kb):
+    """Vectorized driver union-find over numpy string arrays.
+
+    Sits on the SERIAL driver path of every link run, so its wall-clock
+    is a direct Amdahl tax on the N→4N scaling-efficiency bar: string
+    keys are mapped to SORTED integer codes (np.unique + searchsorted —
+    code order == lexicographic order, so min code == min key and
+    union-by-min keeps every root at its set's minimum), the union loop
+    runs over plain int lists with path halving (no per-edge string
+    hashing), and the final relabel is a vectorized parent[parent]
+    fixpoint (O(log depth) full-array passes) instead of a per-key find
+    loop. Returns a pandas DataFrame (key, component) covering exactly
+    the keys that appear in edges — same contract as
+    _driver_union_find."""
+    import numpy as np
+    import pandas as pd
+
+    keys = np.unique(np.concatenate([ka, kb]))  # sorted
+    a = np.searchsorted(keys, ka).tolist()
+    b = np.searchsorted(keys, kb).tolist()
+    parent = list(range(len(keys)))
+    for x, y in zip(a, b):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        while parent[y] != y:
+            parent[y] = parent[parent[y]]
+            y = parent[y]
+        if x != y:
+            if x < y:
+                parent[y] = x
+            else:
+                parent[x] = y
+    p = np.asarray(parent, dtype=np.int64)
+    while True:
+        p2 = p[p]
+        if np.array_equal(p2, p):
+            break
+        p = p2
+    return pd.DataFrame({"key": keys, "component": keys[p]})
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -71,34 +113,31 @@ def connected_components(
     observability (bench receipts)."""
     spark = edges.sparkSession
     # one action decides the strategy AND fetches the edges for the driver
-    # path: collect at most driver_max_edges+1 rows — if we got them all,
-    # they ARE the edge set (no separate count() pass over the lineage)
+    # path: fetch at most driver_max_edges+1 rows — if we got them all,
+    # they ARE the edge set (no separate count() pass over the lineage).
+    # toPandas rides the Arrow exchange (columnar batches), several times
+    # faster than a pickled Row collect at the 10^5-edge scale this path
+    # serves — and this fetch is serial driver time on every link run
     probe = (
-        edges.select(src, dst).limit(driver_max_edges + 1).collect()
+        edges.select(src, dst).limit(driver_max_edges + 1).toPandas()
         if driver_max_edges > 0
-        else []
+        else None
     )
-    if driver_max_edges > 0 and len(probe) <= driver_max_edges:
+    if probe is not None and len(probe) <= driver_max_edges:
         if stats is not None:
             stats.update(path="driver", iterations=0)
-        rows = [(r[0], r[1]) for r in probe]
-        pairs = _driver_union_find(rows)
         schema = T.StructType(
             [
                 T.StructField("key", T.StringType(), False),
                 T.StructField("component", T.StringType(), False),
             ]
         )
-        if pairs:
-            # Arrow path: pandas conversion ships the (possibly hundreds of
-            # thousands of) component rows to the JVM in columnar batches
-            # instead of pickled tuples — this createDataFrame sits on the
-            # serial driver path of every link run
-            import pandas as pd
-
-            return spark.createDataFrame(
-                pd.DataFrame(pairs, columns=["key", "component"]), schema
+        if len(probe):
+            out = _driver_union_find_np(
+                probe[src].to_numpy(), probe[dst].to_numpy()
             )
+            # Arrow path back to the JVM for the same reason as the fetch
+            return spark.createDataFrame(out, schema)
         return spark.createDataFrame([], schema)
 
     # pre-shuffle the (constant) symmetric edge table once on the probe key

@@ -1195,6 +1195,85 @@ ORDER BY node
 """
 
 
+# Incremental emission-time cap semantics (streaming.py
+# incremental_candidate_pairs; ref corpus chunk-at-a-time loop
+# config.py:168-169 + pelinker/embedder.py batch appends): items arrive in
+# batches; each batch appends per-group COUNT INCREMENTS; a batch's rows in
+# group g are emitted iff the ACCUMULATED group size at emission time (sum
+# of increments over batches <= this one) is within the hot cap, and each
+# emitted row pairs with ALL accumulated membership of its group —
+# including rows whose own batches were over-cap (membership accumulates
+# regardless of emission; "pairs emitted before a bucket went hot stay").
+# Every unordered pair is enumerated exactly once, at its LATER endpoint's
+# batch. Running sum = W6 window; cap filter = P6; emission join = J7
+# semi-join shape.
+def q36_emission_caps(spark, sf_dir):
+    cap = 12
+    ev = rd(spark, sf_dir, "events")
+    rows = ev.select(
+        F.pmod(F.col("user_id"), F.lit(6)).cast("int").alias("batch_id"),
+        F.pmod(F.col("event_id"), F.lit(500)).cast("int").alias("grp"),
+        F.col("event_id").alias("key"),
+    )
+    inc = rows.groupBy("grp", "batch_id").agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ok = (
+        inc.withColumn("cum_n", F.sum("n").over(w))
+        .where(F.col("cum_n") <= F.lit(cap))
+        .select("grp", "batch_id")
+    )
+    nb = rows.join(ok, ["grp", "batch_id"], "left_semi")
+    state = rows.select(
+        "grp", F.col("batch_id").alias("b2"), F.col("key").alias("key2")
+    )
+    pairs = nb.join(state, "grp").where(
+        (F.col("b2") < F.col("batch_id"))
+        | ((F.col("b2") == F.col("batch_id")) & (F.col("key2") < F.col("key")))
+    )
+    return (
+        pairs.groupBy("grp", "batch_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("key") + F.col("key2")).alias("pair_sum"),
+        )
+        .orderBy("grp", "batch_id")
+    )
+
+
+SQL_Q36 = """
+WITH rows_t AS (
+  SELECT CAST(user_id % 6 AS INT) AS batch_id,
+         CAST(event_id % 500 AS INT) AS grp,
+         event_id AS key
+  FROM events),
+inc AS (
+  SELECT grp, batch_id, COUNT(*) AS n FROM rows_t GROUP BY grp, batch_id),
+ok AS (
+  SELECT grp, batch_id FROM (
+    SELECT grp, batch_id,
+           SUM(n) OVER (PARTITION BY grp ORDER BY batch_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_n
+    FROM inc)
+  WHERE cum_n <= 12),
+nb AS (
+  SELECT r.* FROM rows_t r SEMI JOIN ok
+  ON r.grp = ok.grp AND r.batch_id = ok.batch_id),
+pairs AS (
+  SELECT nb.grp, nb.batch_id, nb.key, s.key AS key2
+  FROM nb JOIN rows_t s ON nb.grp = s.grp
+  WHERE s.batch_id < nb.batch_id
+     OR (s.batch_id = nb.batch_id AND s.key < nb.key))
+SELECT grp, batch_id, COUNT(*) AS n_pairs,
+       CAST(SUM(key + key2) AS BIGINT) AS pair_sum
+FROM pairs GROUP BY grp, batch_id
+ORDER BY grp, batch_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1231,6 +1310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_label_simplicity": q33_label_simplicity,
     "q34_grid_aggregate": q34_grid_aggregate,
     "q35_incident_scores": q35_incident_scores,
+    "q36_emission_caps": q36_emission_caps,
 }
 
 ORACLES: dict[str, str] = {
@@ -1269,4 +1349,5 @@ ORACLES: dict[str, str] = {
     "q33_label_simplicity": SQL_Q33,
     "q34_grid_aggregate": SQL_Q34,
     "q35_incident_scores": SQL_Q35,
+    "q36_emission_caps": SQL_Q36,
 }

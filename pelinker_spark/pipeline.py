@@ -79,6 +79,11 @@ class LinkConfig:
     # scanning all accumulated membership per batch. Shared through
     # LinkConfig for the same parity reason as the caps above.
     state_prefixes: int = 64
+    # connected-components planner cutoff (cc.DRIVER_MAX_EDGES): edge sets
+    # at or below this collect to a driver union-find; above it (or with
+    # 0, forcing the distributed path end-to-end — the cc_full_pipeline
+    # bench receipt) hash-min + pointer doubling runs on the cluster.
+    cc_driver_max_edges: int = 1_000_000
 
     def as_dict(self) -> dict:
         return asdict(self)
@@ -359,7 +364,12 @@ def link_pipeline(
 
     def get_comp() -> DataFrame:
         if "df" not in comp_memo:
-            comp_memo["df"] = connected_components(edges, "key_a", "key_b")
+            comp_memo["df"] = connected_components(
+                edges,
+                "key_a",
+                "key_b",
+                driver_max_edges=cfg.cc_driver_max_edges,
+            )
         return comp_memo["df"]
 
     def build_components():

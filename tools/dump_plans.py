@@ -19,6 +19,7 @@ PICK = [
     "q18_cosine_topk",
     "q31_fused_centroids",
     "q35_incident_scores",
+    "q36_emission_caps",
 ]
 
 
@@ -67,6 +68,31 @@ def main() -> None:
     res = link_pipeline(spark, pages, cfg=LinkConfig())
     out += ["## cluster assignment (small component map joined onto mentions)",
             "```", plan_of(res.clusters).strip()[:3500], "```", ""]
+
+    # KB validation: the full cluster output joins two KB-derived dims
+    # (lemma index, label patterns) — BOTH must broadcast (the dims are
+    # |KB|-sized; the probe side is |mentions|-sized and must not shuffle)
+    from pelinker_spark.kb import validate_kb_anchors
+    from pelinker_spark.synth import kb_table
+
+    kb = kb_table(spark, n_entities=50)
+    res_kb = link_pipeline(spark, pages, kb=kb, cfg=LinkConfig())
+    vplan = plan_of(validate_kb_anchors(res_kb.clusters, kb))
+    # the two OUTERMOST joins are validate_kb_anchors' own (lemma-key dim,
+    # then label-pattern dim); everything below them is cluster lineage.
+    # Evidence = both are BroadcastHashJoin and no SortMergeJoin anywhere
+    # touches the mention-sized probe side.
+    top = "\n".join(vplan.splitlines()[:10])
+    n_top_bc = top.count("BroadcastHashJoin")
+    out += [
+        "## validate_kb_anchors (KB dims broadcast onto the cluster output)",
+        f"Outermost joins (the two validation joins): {n_top_bc} "
+        "BroadcastHashJoin, 0 SortMergeJoin — the KB lemma-key dim and "
+        "label-pattern dim broadcast onto the mention-sized probe side.",
+        "```", vplan.strip()[:3500], "```", ""]
+    assert n_top_bc >= 2, "KB validation dims not broadcast"
+    assert "SortMergeJoin" not in top, "KB validation join shuffled"
+    res_kb.unpersist()
     res.unpersist()
 
     with open("/root/repo/PLANS.md", "w") as f:
