@@ -33,12 +33,33 @@ def main() -> None:
     pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
 
+    # mid-run load sampler: before/after 1-min loadavg misses co-tenant
+    # bursts that start and decay INSIDE the run (the r3 pair spread).
+    # Sampling every 10s gives a per-run pollution record: an N-core run
+    # fully busy contributes ~N to loadavg, so median sample - N estimates
+    # ambient load DURING the run.
+    import threading
+
+    samples: list[float] = []
+    stop = threading.Event()
+
+    def _sampler() -> None:
+        while not stop.is_set():
+            samples.append(float(open("/proc/loadavg").read().split()[0]))
+            stop.wait(10)
+
+    th = threading.Thread(target=_sampler, daemon=True)
+
     load_before = open("/proc/loadavg").read().split()[0]
+    th.start()
     t0 = time.monotonic()
     res = link_pipeline(spark, pages, cfg=LinkConfig())
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     link_sec = time.monotonic() - t0
+    stop.set()
+    th.join(timeout=1)
     load_after = open("/proc/loadavg").read().split()[0]
+    srt = sorted(samples) or [float(load_before)]
 
     print(
         json.dumps(
@@ -50,6 +71,8 @@ def main() -> None:
                 "docs_per_sec": round(n_pages / link_sec, 1),
                 "ambient_load_before": float(load_before),
                 "ambient_load_after": float(load_after),
+                "load_mid_median": round(srt[len(srt) // 2], 2),
+                "load_mid_max": round(srt[-1], 2),
             }
         )
     )
