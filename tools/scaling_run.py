@@ -33,6 +33,40 @@ def main() -> None:
     pages = spark.read.parquet(pages_dir)
     n_pages = pages.count()
 
+    def _tree_cpu_sec() -> float:
+        """CPU-seconds (utime+stime+reaped children) of this process tree
+        — the Spark JVM and its Python workers are all descendants. Lets
+        the receipt separate engine CPU from ambient co-tenant load:
+        utilization = delta_cpu / (wall * cores)."""
+        import os
+
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        ticks: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    parts = f.read().rsplit(") ", 1)[1].split()
+                # after comm: fields (0-indexed from state): ppid is
+                # parts[1]; utime..cstime are parts[11:15]
+                ppid[int(d)] = int(parts[1])
+                ticks[int(d)] = sum(int(x) for x in parts[11:15])
+            except Exception:
+                continue
+        total = 0
+        for pid, t in ticks.items():
+            p = pid
+            while p > 1:
+                if p == me:
+                    total += t
+                    break
+                p = ppid.get(p, 1)
+        import os as _os
+
+        return total / float(_os.sysconf("SC_CLK_TCK"))
+
     # mid-run load sampler: before/after 1-min loadavg misses co-tenant
     # bursts that start and decay INSIDE the run (the r3 pair spread).
     # Sampling every 10s gives a per-run pollution record: an N-core run
@@ -51,11 +85,13 @@ def main() -> None:
     th = threading.Thread(target=_sampler, daemon=True)
 
     load_before = open("/proc/loadavg").read().split()[0]
+    cpu0 = _tree_cpu_sec()
     th.start()
     t0 = time.monotonic()
     res = link_pipeline(spark, pages, cfg=LinkConfig())
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     link_sec = time.monotonic() - t0
+    cpu1 = _tree_cpu_sec()
     stop.set()
     th.join(timeout=1)
     load_after = open("/proc/loadavg").read().split()[0]
@@ -73,6 +109,8 @@ def main() -> None:
                 "ambient_load_after": float(load_after),
                 "load_mid_median": round(srt[len(srt) // 2], 2),
                 "load_mid_max": round(srt[-1], 2),
+                "engine_cpu_sec": round(cpu1 - cpu0, 1),
+                "cpu_utilization": round((cpu1 - cpu0) / (link_sec * cores), 3),
             }
         )
     )
