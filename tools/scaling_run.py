@@ -27,12 +27,22 @@ def main() -> None:
     # containers; affinity is the sandbox-faithful proxy. Children
     # inherit the mask; the JVM sizes its GC/JIT pools from the
     # effective affinity, matching container behavior.
+    # Measured on this host: pinning makes the 2-core half honest (util
+    # 1.04 → 0.94) but the 8-core half then CANNOT MIGRATE off cores a
+    # co-tenant burst lands on (274.9s wall, util 0.789, mid-run load
+    # 9.45 on 8 pinned cores) — on a shared box the pinned regime
+    # measures the neighbors, not the engine. Default therefore OFF:
+    # unpinned numbers UNDERSTATE true capped-cluster efficiency (the
+    # small-N baseline gets free uncapped CPU), i.e. the reported
+    # efficiency is a conservative lower bound. Set SPARK_GRAFT_PIN=1 on
+    # an idle host for the container-faithful regime.
     import os as _os
 
-    try:
-        _os.sched_setaffinity(0, set(range(cores)))
-    except (AttributeError, OSError):
-        pass  # non-Linux fallback: run uncapped (documented in output)
+    if _os.environ.get("SPARK_GRAFT_PIN") == "1":
+        try:
+            _os.sched_setaffinity(0, set(range(cores)))
+        except (AttributeError, OSError):
+            pass  # non-Linux fallback: run uncapped
     from pelinker_spark.pipeline import LinkConfig, link_pipeline
     from pelinker_spark.session import get_spark
     from pelinker_spark.synth import web_pages
