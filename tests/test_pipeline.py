@@ -125,6 +125,32 @@ def test_connected_components_transitive(spark):
     assert comp["a"] != comp["x"]
 
 
+def test_driver_union_find_vectorized_parity():
+    """The round-4 vectorized driver union-find (int codes + path halving
+    + parent[parent] fixpoint) must return exactly the dict-based
+    reference implementation's partition — including min-key component
+    ids — on a randomized graph with chains, stars and singleton-free
+    shuffling."""
+    import numpy as np
+
+    from pelinker_spark.cc import _driver_union_find, _driver_union_find_np
+
+    rng = np.random.default_rng(7)
+    keys = np.array([f"k{i:05d}" for i in rng.permutation(5000)])
+    a = keys[rng.integers(0, len(keys), 8000)]
+    b = keys[rng.integers(0, len(keys), 8000)]
+    old = dict(_driver_union_find(list(zip(a.tolist(), b.tolist()))))
+    new_df = _driver_union_find_np(a, b)
+    new = dict(zip(new_df["key"], new_df["component"]))
+    assert old == new
+    # component ids are the lexicographic min of their members
+    members: dict = {}
+    for k, c in new.items():
+        members.setdefault(c, []).append(k)
+    for c, ms in members.items():
+        assert c == min(ms)
+
+
 def test_connected_components_distributed_parity(spark):
     """The distributed hash-min path (driver_max_edges=0 forces it) must
     produce exactly the same components as the driver union-find on the
