@@ -79,6 +79,12 @@ class LinkConfig:
     # scanning all accumulated membership per batch. Shared through
     # LinkConfig for the same parity reason as the caps above.
     state_prefixes: int = 64
+    # per-mention link_score/exact_key feature (VERDICT r2 #4). Default on
+    # (the public projection carries it); callers that only need cluster
+    # ids (the scaling bench's hot path, bulk re-cluster jobs) can turn it
+    # off to skip the incident-score aggregation + its join into the
+    # component map — measured ~2% of the 320k link wall (VERDICT r3).
+    link_scores: bool = True
     # connected-components planner cutoff (cc.DRIVER_MAX_EDGES): edge sets
     # at or below this collect to a driver union-find; above it (or with
     # 0, forcing the distributed path end-to-end — the cc_full_pipeline
@@ -251,6 +257,12 @@ def filter_clusters_by_score(clusters: DataFrame, min_score: float) -> DataFrame
     """P6 applied at MENTION level (VERDICT r2 #4): keep rows whose link
     confidence reaches min_score; exact-key members (score 1.0) always
     pass."""
+    if "link_score" not in clusters.columns:
+        raise ValueError(
+            "clusters has no link_score column — the run was built with "
+            "LinkConfig(link_scores=False); re-run with link_scores=True "
+            "to use a score threshold"
+        )
     return clusters.where(F.col("link_score") >= F.lit(float(min_score)))
 
 
@@ -400,18 +412,30 @@ def link_pipeline(
         # not two (a second pass measured ~+10% on the 320k 8-core wall).
         # At 10^12 rows the single join degrades to a shuffle on the same
         # key either way.
-        aux = comp.join(incident_link_scores(edges), "key", "left")
-        m = (
-            mentions.join(aux, "key", "left")
-            .withColumn(
-                "cluster_id", F.coalesce(F.col("component"), F.col("key"))
+        if cfg.link_scores:
+            aux = comp.join(incident_link_scores(edges), "key", "left")
+            m = (
+                mentions.join(aux, "key", "left")
+                .withColumn(
+                    "cluster_id", F.coalesce(F.col("component"), F.col("key"))
+                )
+                .withColumn("exact_key", F.col("link_score").isNull())
+                .withColumn(
+                    "link_score", F.coalesce(F.col("link_score"), F.lit(1.0))
+                )
+                .drop("component")
             )
-            .withColumn("exact_key", F.col("link_score").isNull())
-            .withColumn(
-                "link_score", F.coalesce(F.col("link_score"), F.lit(1.0))
+        else:
+            # id-only mode: one join against the bare component map, no
+            # incident-score agg — link_score/exact_key absent (the P7
+            # projections select them conditionally).
+            m = (
+                mentions.join(comp, "key", "left")
+                .withColumn(
+                    "cluster_id", F.coalesce(F.col("component"), F.col("key"))
+                )
+                .drop("component")
             )
-            .drop("component")
-        )
         if kb is not None:
             kbk = kb_blocking_keys(kb)
             # anchor components to KB entities from the KB side (small):

@@ -46,6 +46,10 @@ def main() -> None:
     ap.add_argument("--min-link-score", type=float, default=None,
                     help="keep only mentions whose link_score >= this "
                     "(mention-level P6; exact-key members score 1.0)")
+    ap.add_argument("--no-link-scores", action="store_true",
+                    help="skip the per-mention link_score/exact_key "
+                    "feature (id-only output; incompatible with "
+                    "--min-link-score)")
     ap.add_argument("--kb-validate", action="store_true",
                     help="with --kb: add kb_label / kb_label_valid "
                     "post-link validation columns to the output")
@@ -69,10 +73,13 @@ def main() -> None:
         pages = spark.read.parquet(args.input)
     kb = spark.read.parquet(args.kb) if args.kb else None
 
+    if args.no_link_scores and args.min_link_score is not None:
+        ap.error("--no-link-scores is incompatible with --min-link-score")
     cfg = LinkConfig(
         lang=args.lang,
         jw_threshold=args.jw_threshold,
         cos_threshold=args.cos_threshold,
+        link_scores=not args.no_link_scores,
     )
     t0 = time.monotonic()
     res = link_pipeline(

@@ -273,3 +273,31 @@ def test_end_to_end_f1(spark, tmp_path):
     ck = CheckpointManager(spark, str(tmp_path / "ckpt"), LinkConfig().as_dict())
     stages = {r["stage"] for r in ck.metrics().select("stage").distinct().collect()}
     assert {"extract", "mentions", "surfaces", "edges", "components", "clusters"} <= stages
+
+
+def test_link_scores_flag_off(spark):
+    """LinkConfig(link_scores=False) skips the incident-score agg: the
+    output carries no link_score/exact_key columns, cluster ids are
+    IDENTICAL to the default run, and the score filter refuses clearly."""
+    import pytest
+
+    from pelinker_spark.pipeline import filter_clusters_by_score
+
+    n_pages, n_entities = 300, 25
+    pages = web_pages(spark, n_pages, seed=7, n_entities=n_entities, partitions=4)
+    full = link_pipeline(spark, pages, cfg=LinkConfig())
+    bare = link_pipeline(spark, pages, cfg=LinkConfig(link_scores=False))
+    try:
+        assert "link_score" not in bare.clusters.columns
+        assert "exact_key" not in bare.clusters.columns
+        # projections degrade gracefully (conditional column selection)
+        assert "link_score" not in bare.public_view().columns
+        # same partition of mentions into clusters either way
+        a = full.clusters.select("url", "a_abs", "key", "cluster_id")
+        b = bare.clusters.select("url", "a_abs", "key", "cluster_id")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        with pytest.raises(ValueError, match="link_scores=False"):
+            filter_clusters_by_score(bare.clusters, 0.9)
+    finally:
+        full.unpersist()
+        bare.unpersist()
