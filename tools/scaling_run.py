@@ -47,7 +47,33 @@ def main() -> None:
     from pelinker_spark.session import get_spark
     from pelinker_spark.synth import web_pages
 
-    spark = get_spark(f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+    # Container-faithful JVM sizing (third regime, opt-in): on a real
+    # cluster each executor JVM is cgroup-limited and (UseContainerSupport)
+    # sizes its GC/compiler thread pools from the CONTAINER quota, not the
+    # host. In this sandbox the local[N] JVM sees all 32 host CPUs, so a
+    # local[2] run's GC/JIT/IO threads run uncapped beside the 2 task
+    # slots — measured util ~1.04-1.07 (the run consumes ~2.2 cores),
+    # inflating small-N throughput and DEFLATING measured N→4N efficiency.
+    # Unlike sched_setaffinity (which pins WHICH cores and so couldn't
+    # dodge co-tenant bursts), sizing the pools caps HOW MANY threads while
+    # leaving the scheduler free to migrate — the honest denominator
+    # without the pinning pathology. Symmetric at both levels.
+    sized = _os.environ.get("SPARK_GRAFT_SIZED_JVM") == "1"
+    extra = None
+    if sized:
+        gc_threads = max(1, cores)
+        conc = max(1, cores // 4)
+        extra = {
+            "spark.driver.extraJavaOptions": (
+                f"-XX:ActiveProcessorCount={cores} "
+                f"-XX:ParallelGCThreads={gc_threads} "
+                f"-XX:ConcGCThreads={conc}"
+            )
+        }
+    spark = get_spark(
+        f"scaling_{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf=extra,
+    )
 
     # steady-state warm-up (JIT + Python UDF workers), excluded from timing
     wp = web_pages(spark, 2000, seed=7, n_entities=50, partitions=8)
@@ -139,6 +165,7 @@ def main() -> None:
                 "cpu_utilization": round((cpu1 - cpu0) / (link_sec * cores), 3),
                 "cpus_pinned": sorted(_os.sched_getaffinity(0))
                 == list(range(cores)),
+                "sized_jvm": sized,
             }
         )
     )

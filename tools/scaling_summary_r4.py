@@ -42,31 +42,35 @@ def main() -> None:
 
     cpu_floor = {}
     for c in (2, 8):
-        xs = [
-            r["engine_cpu_sec"]
-            for r in runs
-            if r["cores"] == c
-            and "engine_cpu_sec" in r
-            and r.get("cpus_pinned") is not True  # pinned runs spill less
-        ]
-        cpu_floor[c] = min(xs) if xs else None
+        for sized in (False, True):
+            xs = [
+                r["engine_cpu_sec"]
+                for r in runs
+                if r["cores"] == c
+                and "engine_cpu_sec" in r
+                and r.get("cpus_pinned") is not True  # pinned runs spill less
+                and bool(r.get("sized_jvm")) == sized
+            ]
+            cpu_floor[(c, sized)] = min(xs) if xs else None
 
     def classify(r) -> str:
         c = r["cores"]
+        pre = "sized-" if r.get("sized_jvm") else ""
         if r.get("cpus_pinned") is True:
             return "pinned-experiment"
         if "load_mid_max" not in r:
             ok = r["ambient_load_before"] <= 3.0 and r["ambient_load_after"] <= c + 2.2
             return "legacy-clean" if ok else "legacy-polluted"
         if r["load_mid_max"] - c > 2.2:
-            return "polluted(load)"
+            return pre + "polluted(load)"
+        floor = cpu_floor[(c, bool(r.get("sized_jvm")))]
         if (
             "engine_cpu_sec" in r
-            and cpu_floor[c]
-            and r["engine_cpu_sec"] > 1.12 * cpu_floor[c]
+            and floor
+            and r["engine_cpu_sec"] > 1.12 * floor
         ):
-            return "polluted(cpu)"
-        return "clean"
+            return pre + "polluted(cpu)"
+        return pre + "clean"
 
     print(f"{'cores':>5} {'wall_s':>8} {'docs/s':>8} {'cpu_s':>8} {'util':>6} "
           f"{'mid_med':>8} {'mid_max':>8} {'class':>18}")
@@ -80,18 +84,22 @@ def main() -> None:
             f"{classify(r):>18}"
         )
 
-    clean = [r for r in runs if classify(r) in ("clean", "legacy-clean")]
-    best = {}
-    for c in (2, 8):
-        xs = [r for r in clean if r["cores"] == c]
-        if xs:
-            best[c] = min(xs, key=lambda r: r["link_sec"])
-    if len(best) == 2:
-        eff = (best[8]["docs_per_sec"] / best[2]["docs_per_sec"]) / 4
-        print(f"\nmin-per-level over clean runs: "
-              f"2c {best[2]['link_sec']}s ({best[2]['docs_per_sec']}/s), "
-              f"8c {best[8]['link_sec']}s ({best[8]['docs_per_sec']}/s), "
-              f"efficiency {eff:.3f}")
+    for label, classes in (
+        ("clean runs (unpinned)", ("clean", "legacy-clean")),
+        ("clean runs (sized-JVM regime)", ("sized-clean",)),
+    ):
+        clean = [r for r in runs if classify(r) in classes]
+        best = {}
+        for c in (2, 8):
+            xs = [r for r in clean if r["cores"] == c]
+            if xs:
+                best[c] = min(xs, key=lambda r: r["link_sec"])
+        if len(best) == 2:
+            eff = (best[8]["docs_per_sec"] / best[2]["docs_per_sec"]) / 4
+            print(f"\nmin-per-level over {label}: "
+                  f"2c {best[2]['link_sec']}s ({best[2]['docs_per_sec']}/s), "
+                  f"8c {best[8]['link_sec']}s ({best[8]['docs_per_sec']}/s), "
+                  f"efficiency {eff:.3f}")
 
     # same-window pairs: consume runs chronologically, pairing each run
     # with its immediate successor at the other level (this reproduces
@@ -108,9 +116,12 @@ def main() -> None:
             eight = a if a["cores"] == 8 else b
             pe = (eight["docs_per_sec"] / two["docs_per_sec"]) / 4
             ca, cb = classify(a), classify(b)
-            tag = "CLEAN" if all(
-                x in ("clean", "legacy-clean") for x in (ca, cb)
-            ) else f"{ca}/{cb}"
+            if all(x in ("clean", "legacy-clean") for x in (ca, cb)):
+                tag = "CLEAN"
+            elif all(x == "sized-clean" for x in (ca, cb)):
+                tag = "SIZED-CLEAN"
+            else:
+                tag = f"{ca}/{cb}"
             print(f"  2c {two['link_sec']:>7.2f}s  8c {eight['link_sec']:>7.2f}s  "
                   f"eff {pe:.3f}  [{tag}]")
 

@@ -11,6 +11,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 
 def main() -> None:
@@ -40,15 +41,20 @@ def main() -> None:
     for df in (w.mentions, w.surfaces, w.edges):
         df.unpersist()
 
+    from proc_cpu import tree_cpu_sec
+
     pages = spark.read.parquet(pages_dir)
     t: dict[str, float] = {}
+    c: dict[str, float] = {}
     T0 = time.monotonic()
+    C0 = tree_cpu_sec()
 
     def tick(name, df):
-        t0 = time.monotonic()
+        t0, c0 = time.monotonic(), tree_cpu_sec()
         df = df.persist()
         n = df.count()
         t[name] = round(time.monotonic() - t0, 1)
+        c[name] = round(tree_cpu_sec() - c0, 1)
         return df, n
 
     docs, _ = tick("extract", extract_stage(pages))
@@ -107,7 +113,7 @@ def main() -> None:
         "edges",
         scored.where(F.col("cos") >= cfg.cos_threshold).select("key_a", "key_b"),
     )
-    t0 = time.monotonic()
+    t0, c0 = time.monotonic(), tree_cpu_sec()
     comp = connected_components(edges, "key_a", "key_b")
     full = (
         surfaces.select("key")
@@ -117,8 +123,10 @@ def main() -> None:
     clusters = mentions.join(full, "key")
     nc = clusters.count()
     t["cc+clusters"] = round(time.monotonic() - t0, 1)
+    c["cc+clusters"] = round(tree_cpu_sec() - c0, 1)
     t["TOTAL"] = round(time.monotonic() - T0, 1)
-    print(json.dumps({"cores": cores, "stages": t, "rows": {"mentions": nm, "surfaces": ns, "pairs": np_, "edges": ne, "clusters": nc}, "rows_sub": rows_sub}))
+    c["TOTAL"] = round(tree_cpu_sec() - C0, 1)
+    print(json.dumps({"cores": cores, "stages": t, "cpu": c, "rows": {"mentions": nm, "surfaces": ns, "pairs": np_, "edges": ne, "clusters": nc}, "rows_sub": rows_sub}))
 
 
 if __name__ == "__main__":
