@@ -10,6 +10,13 @@ and the best (min) wall-clock per level is used — standard practice for
 noisy-neighbor environments, since throughput is a property of the
 engine, not of the neighbors.
 
+Set SPARK_GRAFT_SIZED_JVM=1 (inherited by each scaling_run subprocess)
+for the container-faithful regime: the JVM sizes its thread pools from
+N (-XX:ActiveProcessorCount) exactly as a cgroup-limited executor
+would, making the small-N baseline honest (util ~1.00 instead of
+1.04-1.07). Measured late round 4: efficiency 0.977 vs 0.819 unpinned —
+the unpinned default UNDERSTATES capped-cluster scaling.
+
 Writes BENCH/BASELINE.md and prints one JSON line.
 """
 
