@@ -305,12 +305,28 @@ def link_pipeline(
         persist=True,
         storage=StorageLevel.MEMORY_AND_DISK,
     )
-    surfaces = stage(
-        "surfaces",
-        lambda: surface_table(mentions),
-        persist=True,
-        storage=StorageLevel.MEMORY_AND_DISK,
-    )
+    # The surface cache is built UNCOMPRESSED: measured at 320k pages /
+    # 8 cores, the lz4 columnar-compression pass dominated the stage
+    # (54.2s wall / 338 CPU-s compressed vs 18.6s / 145 uncompressed —
+    # the agg itself is 8s; tools/surfaces_exp.py receipts). The table is
+    # small relative to mentions (12.5M rows, ~4 narrow columns here vs
+    # 35.5M wide), so the memory cost is negligible while the mentions
+    # cache — 10x bigger and eviction-sensitive — stays compressed.
+    # Spark captures this conf per persist() call (CacheManager reads
+    # useCompression when the InMemoryRelation is created), which is what
+    # makes per-table scoping possible.
+    _COMPRESS_KEY = "spark.sql.inMemoryColumnarStorage.compressed"
+    _prev_compress = spark.conf.get(_COMPRESS_KEY, "true")
+    spark.conf.set(_COMPRESS_KEY, "false")
+    try:
+        surfaces = stage(
+            "surfaces",
+            lambda: surface_table(mentions),
+            persist=True,
+            storage=StorageLevel.MEMORY_AND_DISK,
+        )
+    finally:
+        spark.conf.set(_COMPRESS_KEY, _prev_compress)
     if not ckpt and cfg.surface_barrier:
         # barrier 1 of 2: the surface table is scanned by three independent
         # downstream branches (LSH channel, compact-channel probe, compact-
