@@ -90,11 +90,30 @@ def make_encode_udf(variant: str = "default"):
     """Encoder factory keyed by source variant (the engine's analog of the
     reference's (model, layer) embedding-source axis, model.py:1028-1043):
     variant 'default' is the canonical encoder (bit-identical to
-    encode_udf); any other variant salts the feature space, producing an
-    independent but similarity-consistent embedding source for fusion
-    (J2/J3) and model selection."""
+    encode_udf); 'transformer' (or 'transformer:<name>' for an
+    independent source) runs the real numpy transformer forward pass
+    (encoder.py — attention/FFN/mask/pool with seeded weights, the
+    production compute shape); any other variant salts the hash-encoder
+    feature space. All variants share the contract text -> unit
+    Array<Float>, so fusion (J2/J3) and model selection mix them freely."""
     if variant == "default":
         return encode_udf
+    if variant == "transformer" or variant.startswith("transformer:"):
+        from .encoder import encode_batch_transformer
+
+        t_salt = variant.partition(":")[2]
+
+        @F.pandas_udf(T.ArrayType(T.FloatType()))
+        def encode_transformer(
+            batches: Iterator[pd.Series],
+        ) -> Iterator[pd.Series]:
+            # Weights materialize lazily on first batch and persist for
+            # the executor's lifetime (encoder._MODELS) — the same
+            # once-per-process amortization as a checkpoint load.
+            for texts in batches:
+                yield encode_batch_transformer(texts, salt=t_salt)
+
+        return encode_transformer
     salt = f"{variant}\x1f"
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
