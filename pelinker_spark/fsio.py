@@ -39,6 +39,37 @@ def fs_mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(jpath)
 
 
+def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree; False if it did not exist."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return fs.delete(jpath, recursive)
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory/file move via FileSystem.rename (atomic on HDFS and
+    local FS; object stores emulate). Refuses to clobber — callers delete
+    the destination first when replacement is intended."""
+    fs, jsrc = _fs_and_path(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not fs.rename(jsrc, jdst):
+        raise OSError(f"rename {src} -> {dst} failed")
+
+
+def fs_list_subdirs(spark: SparkSession, path: str) -> list[str]:
+    """Names (not paths) of immediate child directories; [] if the path
+    is missing. Used to enumerate `batch_id=N` partition dirs."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+    )
+
+
 def fs_read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file (marker / summary JSON) from any Hadoop
     filesystem. Driver-side, intended for KB-of-metadata payloads only."""

@@ -18,6 +18,12 @@ Structured Streaming:
   accumulated table (the standard lambda-architecture split for
   iterative algorithms that can't run inside a streaming query).
 
+- `compact_incremental_state` — folds accumulated per-batch state
+  partitions into one base partition (crash-safe marker protocol,
+  replay-idempotent), so file/partition count stays O(prefixes + K)
+  on a long-running stream instead of O(batches ever). Wired into
+  `run_incremental_link` via compact_every=K.
+
 Checkpointing: Spark's own streaming checkpoint (offsets + sink state)
 gives exactly-once file-source processing — the streaming analog of the
 reference's completed-set resume.
@@ -188,6 +194,13 @@ def incremental_link_batch(
     from .pipeline import LinkConfig, score_pairs
 
     cfg = cfg or LinkConfig()
+    if batch_id <= compacted_upto(spark, out_dir):
+        # Replay of a micro-batch that compaction already folded into the
+        # base partition: its membership and count increments are in the
+        # base (re-appending them would duplicate state and re-inflate
+        # the running caps), and its edges partition was written before
+        # the compaction watermark advanced. Full no-op.
+        return
     nk = new_keys.select("key").dropDuplicates(["key"]).persist()
     _write_incremental_state(nk, out_dir, cfg, batch_id)
     pairs = incremental_candidate_pairs(spark, out_dir, cfg, batch_id)
@@ -349,29 +362,378 @@ def incremental_candidate_pairs(
     )
 
 
+# --------------------------------------------------- state compaction
+# A long-running stream appends one batch_id partition per micro-batch
+# to every state table. Membership READS prune by pfx (above), so query
+# cost stays proportional — but file/partition COUNT grows O(batches):
+# listing, parquet footers, and task scheduling degrade, and the count
+# tables (batch_id-only) are re-aggregated over ever more files each
+# batch. Compaction folds all state with batch_id <= W into one BASE
+# partition (batch_id = -1), preserving every read-path invariant:
+# membership rows are immutable (fold = rewrite), count increments are
+# additive (fold = pre-aggregate the sum). Edges are output, not probe
+# state — never compacted.
+
+BASE_BATCH = -1
+_STATE_TABLES = ("buckets", "compact", "bucket_counts", "group_counts")
+_COUNT_KEYS = {"bucket_counts": ("band", "bh"), "group_counts": ("ck",)}
+_COMPACT_MARKER = "_COMPACTION.json"
+_PENDING_MARKER = "_COMPACT_PENDING.json"
+
+
+def compacted_upto(spark: SparkSession, out_dir: str) -> int:
+    """Watermark of the last committed compaction (BASE_BATCH - 1 = none).
+    Batches at or below it are folded into the base partition."""
+    import json
+
+    from .fsio import fs_read_text
+
+    marker = f"{out_dir}/{_COMPACT_MARKER}"
+    if not _fs_exists(spark, marker):
+        return BASE_BATCH - 1
+    return int(json.loads(fs_read_text(spark, marker))["upto"])
+
+
+def _batch_dirs_leq(spark: SparkSession, table_path: str, upto: int) -> list[str]:
+    from .fsio import fs_list_subdirs
+
+    out = []
+    for name in fs_list_subdirs(spark, table_path):
+        if name.startswith("batch_id="):
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b <= upto:
+                out.append(f"{table_path}/{name}")
+    return out
+
+
+def _swap_in_base(spark: SparkSession, out_dir: str, table: str, upto: int) -> None:
+    """Publish one table's compacted base: delete the folded batch_id
+    dirs (including any previous base — its rows were re-read into the
+    tmp), then rename tmp -> batch_id=-1. Idempotent: safe to re-run as
+    long as the tmp dir still exists (recovery path A)."""
+    from .fsio import fs_delete, fs_rename
+
+    table_path = f"{out_dir}/{table}"
+    tmp = f"{out_dir}/.compact_tmp/{table}"
+    for d in _batch_dirs_leq(spark, table_path, upto):
+        fs_delete(spark, d)
+    fs_delete(spark, f"{table_path}/batch_id={BASE_BATCH}")
+    fs_rename(spark, tmp, f"{table_path}/batch_id={BASE_BATCH}")
+
+
+def recover_compaction(spark: SparkSession, out_dir: str) -> bool:
+    """Finish an interrupted compaction (crash between the pending marker
+    and the commit marker). Per table: if its tmp dir survives, the swap
+    never completed — redo it (path A; the tmp is a superset of anything
+    it replaces, so re-deleting partially-removed batch dirs is safe); if
+    the tmp is gone, the swap finished — only stray folded batch dirs can
+    remain, delete them (path B). Then commit. Returns True if there was
+    anything to recover."""
+    import json
+
+    from .fsio import fs_delete, fs_read_text, fs_write_text_atomic
+
+    pending = f"{out_dir}/{_PENDING_MARKER}"
+    if not _fs_exists(spark, pending):
+        return False
+    upto = int(json.loads(fs_read_text(spark, pending))["upto"])
+    for table in _STATE_TABLES:
+        if _fs_exists(spark, f"{out_dir}/.compact_tmp/{table}"):
+            _swap_in_base(spark, out_dir, table, upto)
+        else:
+            for d in _batch_dirs_leq(spark, f"{out_dir}/{table}", upto):
+                if not d.endswith(f"batch_id={BASE_BATCH}"):
+                    fs_delete(spark, d)
+    fs_write_text_atomic(
+        spark, f"{out_dir}/{_COMPACT_MARKER}", json.dumps({"upto": upto})
+    )
+    fs_delete(spark, f"{out_dir}/.compact_tmp")
+    fs_delete(spark, pending)
+    return True
+
+
+def compact_incremental_state(
+    spark: SparkSession,
+    out_dir: str,
+    cfg=None,
+    upto_batch_id: int | None = None,
+) -> dict:
+    """Fold incremental state for batches <= upto_batch_id (default: all
+    present) into the single BASE partition. Protocol, crash-safe at
+    every boundary (recover_compaction finishes any interruption):
+
+      1. write compacted tables under out_dir/.compact_tmp/ (dot-dir —
+         invisible to every parquet scan of the live tables),
+      2. publish the pending marker {upto} (tmp+rename),
+      3. per table: delete folded batch dirs, rename tmp into
+         batch_id=-1,
+      4. publish the commit marker, drop tmp + pending.
+
+    A crash before (2) leaves live state untouched (tmp is garbage,
+    overwritten next attempt). After (2), recovery path A/B completes
+    the swap per table. Replay idempotence after compaction:
+    incremental_link_batch skips state writes for batch_id <= watermark
+    (the rows are already in the base), so a foreachBatch replay of a
+    folded micro-batch cannot duplicate membership or re-inflate caps.
+
+    Returns {"upto": W, "tables": {table: n_rows}}."""
+    import json
+
+    from .fsio import fs_delete, fs_write_text_atomic
+    from .pipeline import LinkConfig
+
+    cfg = cfg or LinkConfig()
+    recover_compaction(spark, out_dir)
+
+    if upto_batch_id is None:
+        # Default: everything below the NEWEST state batch. Micro-batches
+        # run sequentially (batch b starts only after b-1's foreachBatch
+        # returned), so every batch below the max is fully committed —
+        # but the max itself may be a crashed half-batch (membership
+        # written, edges not), and folding it would turn its replay into
+        # a no-op that silently drops its edges. Callers that know the
+        # stream is cleanly stopped can pass upto_batch_id explicitly.
+        upto_batch_id = (
+            max(
+                (
+                    int(d.rsplit("=", 1)[1])
+                    for d in _batch_dirs_leq(
+                        spark, f"{out_dir}/buckets", 2**62
+                    )
+                ),
+                default=BASE_BATCH,
+            )
+            - 1
+        )
+    if upto_batch_id <= BASE_BATCH:
+        return {"upto": compacted_upto(spark, out_dir), "tables": {}}
+
+    fs_delete(spark, f"{out_dir}/.compact_tmp")
+    counts: dict[str, int] = {}
+    for table in _STATE_TABLES:
+        src = spark.read.parquet(f"{out_dir}/{table}").where(
+            F.col("batch_id") <= upto_batch_id
+        )
+        keys = _COUNT_KEYS.get(table)
+        if keys:
+            # additive increments -> one pre-summed increment row per key
+            folded = src.groupBy(*keys).agg(F.sum("n").alias("n"))
+            writer = folded.repartition(*keys).write
+        else:
+            # membership rows are immutable; one file per pfx dir keeps
+            # the post-compaction file count == cfg.state_prefixes
+            folded = src.drop("batch_id")
+            writer = folded.repartition("pfx").write.partitionBy("pfx")
+        counts[table] = folded.count()
+        writer.mode("overwrite").parquet(f"{out_dir}/.compact_tmp/{table}")
+
+    fs_write_text_atomic(
+        spark,
+        f"{out_dir}/{_PENDING_MARKER}",
+        json.dumps({"upto": upto_batch_id}),
+    )
+    for table in _STATE_TABLES:
+        _swap_in_base(spark, out_dir, table, upto_batch_id)
+    fs_write_text_atomic(
+        spark,
+        f"{out_dir}/{_COMPACT_MARKER}",
+        json.dumps({"upto": upto_batch_id}),
+    )
+    fs_delete(spark, f"{out_dir}/.compact_tmp")
+    fs_delete(spark, f"{out_dir}/{_PENDING_MARKER}")
+    return {"upto": upto_batch_id, "tables": counts}
+
+
 def finalize_incremental_link(
-    spark: SparkSession, out_dir: str, kb: DataFrame | None = None
+    spark: SparkSession,
+    out_dir: str,
+    kb: DataFrame | None = None,
+    incremental_cc: bool = False,
 ) -> DataFrame:
     """Periodic batch step over the accumulated incremental state:
     connected components over ALL edges so far, joined back onto the
     accumulated mention table — the same cluster assignment as
     link_pipeline's (iterative CC cannot run inside a streaming query;
-    SURVEY.md §2.10 lambda split)."""
-    from .cc import connected_components
+    SURVEY.md §2.10 lambda split).
 
-    if not _fs_exists(spark, f"{out_dir}/edges"):
+    incremental_cc=True warm-starts the component computation from the
+    persisted key→component map (incremental_components): CC iterations
+    run only over NEW edges contracted through the stored map, so the
+    periodic job's cost tracks the delta, not total edge history. Same
+    assignment either way (parity-tested)."""
+    from .cc import connected_components
+    from .fsio import fs_list_subdirs
+
+    # an all-empty batch writes only _SUCCESS: the dir exists but holds
+    # no batch_id partition, and a bare parquet read cannot infer a schema
+    if not any(
+        d.startswith("batch_id=")
+        for d in fs_list_subdirs(spark, f"{out_dir}/edges")
+    ):
         m = spark.read.parquet(f"{out_dir}/mentions")
         return m.withColumn("cluster_id", F.col("key"))
-    edges = spark.read.parquet(f"{out_dir}/edges").dropDuplicates(
-        ["key_a", "key_b"]
-    )
+    if incremental_cc:
+        comp = incremental_components(spark, out_dir)
+    else:
+        edges = spark.read.parquet(f"{out_dir}/edges").dropDuplicates(
+            ["key_a", "key_b"]
+        )
+        comp = connected_components(edges, "key_a", "key_b")
     mentions = spark.read.parquet(f"{out_dir}/mentions")
-    comp = connected_components(edges, "key_a", "key_b")
     return (
         mentions.join(comp, "key", "left")
         .withColumn("cluster_id", F.coalesce(F.col("component"), F.col("key")))
         .drop("component")
     )
+
+
+# ------------------------------------------- incremental components
+# The periodic CC job is the one finalize cost that grows with TOTAL
+# edge history rather than with the new batch. The fix is the classic
+# contraction warm-start: a persisted key→component map makes every old
+# component a super-node (its members are already transitively
+# connected, so its internal edges carry no new information); connecting
+# old state to new arrivals only ever happens through NEW edges. So per
+# finalize: contract the new edges' endpoints through the stored map,
+# run CC over that contracted edge set alone (tiny — it scales with the
+# delta), then relabel. Component ids stay "lexicographically smallest
+# member key": each super-node's id IS its min member, so the min over a
+# merged group of super-nodes and fresh keys is the global min member —
+# bit-identical to full CC over all edges (parity-tested).
+
+_CC_STATE = "cc_state"
+_CC_MARKER = "_CC_WATERMARK.json"
+
+
+def _advance_components(
+    old_map: DataFrame | None, new_edges: DataFrame
+) -> DataFrame:
+    """One contraction step: fold new edges into an existing
+    key→component map. Returns the updated full map (old keys relabeled
+    where merged, new keys appended)."""
+    from .cc import connected_components
+
+    new_edges = new_edges.select("key_a", "key_b").dropDuplicates(
+        ["key_a", "key_b"]
+    )
+    if old_map is None:
+        return connected_components(new_edges, "key_a", "key_b")
+
+    # contract endpoints: old keys become their component super-node,
+    # never-mapped keys stand for themselves
+    contracted = (
+        new_edges.join(
+            old_map.withColumnRenamed("key", "key_a").withColumnRenamed(
+                "component", "ca"
+            ),
+            "key_a",
+            "left",
+        )
+        .join(
+            old_map.withColumnRenamed("key", "key_b").withColumnRenamed(
+                "component", "cb"
+            ),
+            "key_b",
+            "left",
+        )
+        .select(
+            F.coalesce("ca", "key_a").alias("na"),
+            F.coalesce("cb", "key_b").alias("nb"),
+        )
+        # both endpoints already in the same component: no information
+        .where(F.col("na") != F.col("nb"))
+    )
+    merged = connected_components(contracted, "na", "nb").withColumnRenamed(
+        "key", "node"
+    ).withColumnRenamed("component", "merged")
+
+    # relabel the old map where its component id was merged away; the
+    # merge map scales with the contracted delta, so AQE broadcasts it
+    # in the common case
+    relabeled = (
+        old_map.join(
+            merged, old_map["component"] == merged["node"], "left"
+        )
+        .select(
+            "key", F.coalesce("merged", "component").alias("component")
+        )
+    )
+    # fresh keys (contracted node == the key itself) enter the map with
+    # their merged component; a fresh key always appears in `merged`
+    # because each of its edges has a distinct other endpoint
+    fresh = (
+        merged.join(
+            old_map.select(F.col("component").alias("node")).dropDuplicates(),
+            "node",
+            "left_anti",
+        )
+        .select(F.col("node").alias("key"), F.col("merged").alias("component"))
+    )
+    return relabeled.unionByName(fresh)
+
+
+def incremental_components(spark: SparkSession, out_dir: str) -> DataFrame:
+    """key→component map over ALL committed edges, computed by advancing
+    a persisted map with only the edge batches it has not seen.
+
+    State under out_dir/cc_state/: `map_v<W>/` (parquet key→component
+    covering edge batches <= W) + `_CC_WATERMARK.json` {"upto": W,
+    "dir": ...}. The persisted watermark stops one batch BELOW the
+    newest edge partition (same discipline as compaction: the newest
+    partition may be a crashed half-batch whose replay will rewrite it),
+    so the newest batch is folded on the fly into the RETURNED map each
+    call and only persisted once a younger batch lands. Crash-safe:
+    state is derived (recomputable from edges); a crash between map
+    write and marker update leaves a stale dir that the next call
+    overwrites."""
+    import json
+
+    from .fsio import fs_delete, fs_list_subdirs, fs_read_text, fs_write_text_atomic
+
+    state = f"{out_dir}/{_CC_STATE}"
+    edges_path = f"{out_dir}/edges"
+    batches = sorted(
+        int(d.split("=", 1)[1])
+        for d in fs_list_subdirs(spark, edges_path)
+        if d.startswith("batch_id=")
+    )
+    if not batches:
+        return spark.createDataFrame([], "key string, component string")
+
+    marker = f"{state}/{_CC_MARKER}"
+    old_map, upto = None, None
+    if _fs_exists(spark, marker):
+        st = json.loads(fs_read_text(spark, marker))
+        old_map, upto = spark.read.parquet(f"{state}/{st['dir']}"), st["upto"]
+
+    newest = batches[-1]
+    safe = newest - 1  # spare the possibly-in-flight newest partition
+    if (upto is None and safe >= batches[0]) or (
+        upto is not None and safe > upto
+    ):
+        persist_edges = spark.read.parquet(edges_path).where(
+            F.col("batch_id") <= safe
+            if upto is None
+            else (F.col("batch_id") <= safe) & (F.col("batch_id") > upto)
+        )
+        new_map = _advance_components(old_map, persist_edges)
+        vdir = f"map_v{safe}"
+        new_map.write.mode("overwrite").parquet(f"{state}/{vdir}")
+        fs_write_text_atomic(
+            spark, marker, json.dumps({"upto": safe, "dir": vdir})
+        )
+        for d in fs_list_subdirs(spark, state):
+            if d.startswith("map_v") and d != vdir:
+                fs_delete(spark, f"{state}/{d}")
+        old_map, upto = spark.read.parquet(f"{state}/{vdir}"), safe
+
+    tail = spark.read.parquet(edges_path)
+    if upto is not None:
+        tail = tail.where(F.col("batch_id") > upto)
+    return _advance_components(old_map, tail)
 
 
 def run_incremental_link(
@@ -383,6 +745,7 @@ def run_incremental_link(
     cfg=None,
     max_files_per_trigger: int = 8,
     use_stateful_first_seen: bool = False,
+    compact_every: int | None = None,
 ) -> None:
     """Two CHAINED streaming queries, each with its own checkpoint
     (exactly-once file-source processing):
@@ -415,7 +778,16 @@ def run_incremental_link(
         n_first_batch) feed itself.
 
     CC + cluster assignment then run as a periodic batch job
-    (finalize_incremental_link)."""
+    (finalize_incremental_link).
+
+    compact_every=K folds the accumulated state into the single base
+    partition after every K scored micro-batches (upto = the batch that
+    just finished — safe inside foreachBatch because its edges partition
+    is already on disk when incremental_link_batch returns, so a
+    checkpoint-replay of the folded batch is a correct no-op). Bounds
+    state file/partition count at O(state_prefixes + K) instead of
+    O(total batches ever). An interrupted compaction is finished before
+    the scoring query starts (recover_compaction)."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         m = generate_mentions(batch_df, (1, 2, 3), lang, extra_cols=("warc_ts",))
@@ -432,6 +804,16 @@ def run_incremental_link(
 
     if not _fs_exists(spark, f"{out_dir}/mentions"):
         return  # empty first drop: nothing ingested, nothing to score
+
+    # a previous run may have died mid-compaction; finish the swap before
+    # any scoring batch reads the state tables
+    recover_compaction(spark, out_dir)
+
+    def _maybe_compact(batch_id: int) -> None:
+        # batch_id's edges are on disk by now (incremental_link_batch
+        # returned), so folding up to and INCLUDING it is replay-safe
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_incremental_state(spark, out_dir, cfg, upto_batch_id=batch_id)
 
     # schema of the mention table = generate_mentions' analyzed output
     # schema (no job runs for this) + the batch_id partition column
@@ -451,6 +833,7 @@ def run_incremental_link(
 
         def score_new(batch_df: DataFrame, batch_id: int) -> None:
             incremental_link_batch(spark, batch_df, out_dir, cfg, batch_id)
+            _maybe_compact(batch_id)
 
         source = streaming_first_seen(mention_stream)
     else:
@@ -472,6 +855,7 @@ def run_incremental_link(
                 )
                 nk = nk.join(seen, "key", "left_anti")
             incremental_link_batch(spark, nk, out_dir, cfg, batch_id)
+            _maybe_compact(batch_id)
 
         source = mention_stream
 
