@@ -138,15 +138,35 @@ def lsh_candidate_pairs(
     rows: int = 3,
     max_block: int = 50,
     registry: list | None = None,
+    hot_bucket_mode: str = "drop",
+    stop_block: int | None = None,
+    hot_salts: int = 8,
 ) -> DataFrame:
     """Distinct-surface table → candidate pairs (key_a, key_b), key_a < key_b.
 
     surfaces must have one row per distinct `key_col`. Pairs are generated
-    within LSH buckets; each bucket is capped at max_block members (taken by
-    deterministic xxhash64 order — stable under any partitioning) so a
-    degenerate bucket can't go quadratic. Self-joins use the (band, bh)
-    equi-key, so Catalyst shuffles once on the bucket id.
+    within LSH buckets; buckets larger than max_block are handled per
+    hot_bucket_mode (below) so a degenerate bucket can't put its quadratic
+    pair work on one reduce task. Self-joins use the (band, bh) equi-key,
+    so Catalyst shuffles once on the bucket id.
+
+    hot_bucket_mode:
+      "drop" (default) — oversized buckets are stop-buckets
+        (low-information, quadratic-pair risk) and are skipped outright: a
+        hash aggregate + semi join, cheaper and more skew-robust than a
+        global sort-based per-bucket cap. The reference's cap discipline
+        (sampling.py:101-153) survives in cap_group_rows for callers that
+        need exact-k retention.
+      "salt" — buckets in (max_block, stop_block] keep ALL their pairs,
+        enumerated via salted_block_pairs (triangle partitioning: the
+        bucket's n² pairs spread over hot_salts(hot_salts+1)/2 shuffle
+        keys — the north rule's explicit salted repartitioning). Buckets
+        above stop_block (default 40·max_block) are still dropped: past
+        that size a shingle bucket is stopword-grade noise, and recall
+        belongs to the other blocking channels. Trades bounded extra
+        compute for recall on mid-sized head blocks.
     """
+    assert hot_bucket_mode in ("drop", "salt")
     bucketed = lsh_buckets(surfaces, key_col, num_hashes, bands, rows)
     # the bucket table feeds both the size aggregation and the semi-join
     # probe, and later both sides of the pair self-join — without
@@ -154,35 +174,39 @@ def lsh_candidate_pairs(
     bucketed = bucketed.persist()
     if registry is not None:
         registry.append(bucketed)
-    # Hot-bucket drop: an LSH bucket larger than max_block is a stop-bucket
-    # (low-information, quadratic-pair risk) and is skipped outright — a
-    # hash aggregate + broadcast-able semi join, cheaper and more
-    # skew-robust than a global sort-based per-bucket cap. The reference's
-    # cap discipline (sampling.py:101-153) survives in cap_group_rows for
-    # callers that need exact-k retention.
     sizes = bucketed.groupBy("band", "bh").agg(F.count("*").alias("bn"))
-    bucketed = bucketed.join(
+    cold = bucketed.join(
         sizes.where(F.col("bn") <= max_block).select("band", "bh"),
         ["band", "bh"],
         "left_semi",
     ).persist()
     if registry is not None:
-        registry.append(bucketed)
+        registry.append(cold)
 
-    a = bucketed.select(
-        F.col("band"), F.col("bh"), F.col(key_col).alias("key_a")
+    a = cold.select(F.col("band"), F.col("bh"), F.col(key_col).alias("key_a"))
+    b = cold.select(F.col("band"), F.col("bh"), F.col(key_col).alias("key_b"))
+    raw = a.join(b, ["band", "bh"]).where(F.col("key_a") < F.col("key_b")).select(
+        "key_a", "key_b"
     )
-    b = bucketed.select(
-        F.col("band"), F.col("bh"), F.col(key_col).alias("key_b")
-    )
+    if hot_bucket_mode == "salt":
+        stop = stop_block if stop_block is not None else max_block * 40
+        hot = bucketed.join(
+            sizes.where((F.col("bn") > max_block) & (F.col("bn") <= stop))
+            .select("band", "bh"),
+            ["band", "bh"],
+            "left_semi",
+        )
+        raw = raw.unionByName(
+            salted_block_pairs(hot, ["band", "bh"], key_col, hot_salts).select(
+                "key_a", "key_b"
+            )
+        )
     pairs = (
-        a.join(b, ["band", "bh"])
-        .where(F.col("key_a") < F.col("key_b"))
+        raw
         # word-count bucket must match — the reference's WordGrouping
         # blocking dimension (pelinker/onto.py:247-252): an n-word surface
         # never links to an m-word surface
         .where(F.size(F.split(F.col("key_a"), " ")) == F.size(F.split(F.col("key_b"), " ")))
-        .select("key_a", "key_b")
         .dropDuplicates(["key_a", "key_b"])
     )
     return pairs
@@ -239,6 +263,89 @@ def compact_key_pairs(
             == F.size(F.split(F.col("key_b"), " "))
         )
         .dropDuplicates(["key_a", "key_b"])
+    )
+
+
+def salted_block_pairs(
+    members: DataFrame,
+    block_cols: list[str],
+    key_col: str = "key",
+    num_salts: int = 8,
+) -> DataFrame:
+    """All unordered within-block pairs, with each block's quadratic work
+    spread over num_salts*(num_salts+1)/2 shuffle keys instead of one —
+    the north rule's "explicit salted repartitioning to defuse head-term
+    skew in blocks", as triangle partitioning.
+
+    Each member gets a deterministic salt g = xxhash64(key) mod S. The
+    unordered salt-cells (lo, hi), lo <= hi, tile all pairs: the LEFT side
+    replicates a salt-g row into cells (g, g..S-1), the RIGHT side into
+    cells (0..g, g), and the join key carries (block, lo, hi) — so a block
+    of n rows shuffles as S(S+1)/2 keys of ~n/S rows each, and no single
+    reduce task sees the block's full n² (each cell's pair work is
+    ~(n/S)²). Every pair lands in exactly one cell: for salts gx < gy only
+    cell (gx, gy) has x on the left and y on the right; the diagonal cell
+    (g, g) sees both orders and keeps key_a < key_b. Replication cost:
+    each row appears S+1 times across the two sides — paid only on the
+    hot minority routed here.
+
+    Output: (block_cols..., key_a, key_b) with key_a < key_b, exactly the
+    pair set of a plain within-block self-join."""
+    S = int(num_salts)
+    assert S >= 1
+    g = F.pmod(F.xxhash64(F.col(key_col), F.lit(17)), F.lit(S)).cast("int")
+    m = members.select(*block_cols, F.col(key_col)).withColumn("__g", g)
+    left = m.select(
+        *block_cols,
+        F.col(key_col).alias("__ka"),
+        F.col("__g").alias("__lo"),
+        F.explode(F.sequence(F.col("__g"), F.lit(S - 1))).alias("__hi"),
+    )
+    right = m.select(
+        *block_cols,
+        F.col(key_col).alias("__kb"),
+        F.explode(F.sequence(F.lit(0), F.col("__g"))).alias("__lo"),
+        F.col("__g").alias("__hi"),
+    )
+    return (
+        left.join(right, [*block_cols, "__lo", "__hi"])
+        .where((F.col("__lo") < F.col("__hi")) | (F.col("__ka") < F.col("__kb")))
+        .select(
+            *block_cols,
+            F.least("__ka", "__kb").alias("key_a"),
+            F.greatest("__ka", "__kb").alias("key_b"),
+        )
+    )
+
+
+def salted_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list[str],
+    left_key: str = "k1",
+    right_key: str = "k2",
+    num_salts: int = 8,
+) -> DataFrame:
+    """Every ordered (left, right) pair within a block, spread over
+    num_salts² shuffle keys per block — the asymmetric (probe × history)
+    twin of salted_block_pairs, used by the incremental path where the
+    batch's new keys pair against accumulated state. Left rows replicate
+    across all right-salts and vice versa (each row S copies), so a hot
+    block's cross product lands in S² cells of ~(|L|/S)·(|R|/S) pairs.
+    Output: (block_cols..., left_key, right_key) — no ordering or
+    self-pair filtering; the caller applies its own predicates."""
+    S = int(num_salts)
+    assert S >= 1
+    ga = F.pmod(F.xxhash64(F.col(left_key), F.lit(17)), F.lit(S)).cast("int")
+    gb = F.pmod(F.xxhash64(F.col(right_key), F.lit(17)), F.lit(S)).cast("int")
+    l = left.select(*block_cols, left_key).withColumn("__ga", ga).withColumn(
+        "__gb", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    r = right.select(*block_cols, right_key).withColumn("__gb", gb).withColumn(
+        "__ga", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+    )
+    return l.join(r, [*block_cols, "__ga", "__gb"]).select(
+        *block_cols, left_key, right_key
     )
 
 

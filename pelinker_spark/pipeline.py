@@ -60,6 +60,18 @@ class LinkConfig:
     # merge) or carries punctuation (possible typo variant of a canonical).
     # Set to 1 to fuzzy-match everything (slow, max recall).
     lsh_min_mentions: int = 2
+    # Hot-bucket policy for the LSH channel (north rule: "explicit salted
+    # repartitioning to defuse head-term skew in blocks"). "drop" (default,
+    # the published-receipt behavior): buckets over max_block are
+    # stop-buckets, skipped whole. "salt": buckets in (max_block,
+    # lsh_stop_block] keep all pairs via triangle-salted enumeration
+    # (blocking.salted_block_pairs — the quadratic work spreads over
+    # lsh_hot_salts(lsh_hot_salts+1)/2 shuffle keys per bucket); only
+    # stopword-grade buckets past lsh_stop_block (None → 40·max_block)
+    # are dropped. Read by BOTH the batch and incremental paths (parity).
+    hot_bucket_mode: str = "drop"
+    lsh_stop_block: int | None = None
+    lsh_hot_salts: int = 8
     jw_threshold: float = 0.95
     cos_threshold: float = 0.90
     seed: int = 13
@@ -356,6 +368,9 @@ def link_pipeline(
             rows=cfg.lsh_rows,
             max_block=cfg.max_block,
             registry=registry,
+            hot_bucket_mode=cfg.hot_bucket_mode,
+            stop_block=cfg.lsh_stop_block,
+            hot_salts=cfg.lsh_hot_salts,
         ).unionByName(
             compact_key_pairs(
                 surfaces, max_block=cfg.compact_max_block, registry=registry

@@ -297,12 +297,13 @@ def incremental_candidate_pairs(
 
     # hot caps from the running-count tables: accumulated size at emission
     # time = sum of per-batch increments up to now
-    ok_buckets = (
+    bucket_sizes = (
         spark.read.parquet(f"{out_dir}/bucket_counts")
         .groupBy("band", "bh")
         .agg(F.sum("n").alias("bn"))
-        .where(F.col("bn") <= cfg.max_block)
-        .select("band", "bh")
+    )
+    ok_buckets = bucket_sizes.where(F.col("bn") <= cfg.max_block).select(
+        "band", "bh"
     )
     nb = all_b.where(F.col("batch_id") == batch_id).join(
         ok_buckets, ["band", "bh"], "left_semi"
@@ -328,6 +329,49 @@ def incremental_candidate_pairs(
             == F.size(F.split(F.col("key_b"), " "))
         )
     )
+    if getattr(cfg, "hot_bucket_mode", "drop") == "salt":
+        # salted skew path (north rule; parity with the batch pipeline's
+        # hot_bucket_mode="salt"): buckets whose ACCUMULATED size at
+        # emission time is in (max_block, stop] keep all (new × history)
+        # pairs, spread over lsh_hot_salts² shuffle cells per bucket
+        from .blocking import salted_cross_pairs
+
+        stop = (
+            cfg.lsh_stop_block
+            if cfg.lsh_stop_block is not None
+            else cfg.max_block * 40
+        )
+        hot_ids = bucket_sizes.where(
+            (F.col("bn") > cfg.max_block) & (F.col("bn") <= stop)
+        ).select("band", "bh")
+        nb_hot = all_b.where(F.col("batch_id") == batch_id).join(
+            hot_ids, ["band", "bh"], "left_semi"
+        )
+        ob_hot = all_b.join(
+            nb_hot.select("band", "bh").dropDuplicates(),
+            ["band", "bh"],
+            "left_semi",
+        )
+        hot_pairs = (
+            salted_cross_pairs(
+                nb_hot.select("band", "bh", F.col("key").alias("k1")),
+                ob_hot.select("band", "bh", F.col("key").alias("k2")),
+                ["band", "bh"],
+                "k1",
+                "k2",
+                cfg.lsh_hot_salts,
+            )
+            .where(F.col("k1") != F.col("k2"))
+            .select(
+                F.least("k1", "k2").alias("key_a"),
+                F.greatest("k1", "k2").alias("key_b"),
+            )
+            .where(
+                F.size(F.split(F.col("key_a"), " "))
+                == F.size(F.split(F.col("key_b"), " "))
+            )
+        )
+        pairs_lsh = pairs_lsh.unionByName(hot_pairs)
 
     ok_groups = (
         spark.read.parquet(f"{out_dir}/group_counts")

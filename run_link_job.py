@@ -50,6 +50,11 @@ def main() -> None:
                     help="skip the per-mention link_score/exact_key "
                     "feature (id-only output; incompatible with "
                     "--min-link-score)")
+    ap.add_argument("--hot-bucket-mode", default="drop",
+                    choices=("drop", "salt"),
+                    help="LSH hot-bucket policy: drop stop-buckets over "
+                    "max_block (default), or salt — keep mid-sized head "
+                    "blocks' pairs via triangle-salted repartitioning")
     ap.add_argument("--kb-validate", action="store_true",
                     help="with --kb: add kb_label / kb_label_valid "
                     "post-link validation columns to the output")
@@ -80,6 +85,7 @@ def main() -> None:
         jw_threshold=args.jw_threshold,
         cos_threshold=args.cos_threshold,
         link_scores=not args.no_link_scores,
+        hot_bucket_mode=args.hot_bucket_mode,
     )
     t0 = time.monotonic()
     res = link_pipeline(
