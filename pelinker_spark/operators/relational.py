@@ -1274,6 +1274,81 @@ ORDER BY grp, batch_id
 """
 
 
+# M8 transitive clustering, oracle-checked end-to-end: the DISTRIBUTED
+# hash-min + pointer-doubling connected-components path (cc.py — the
+# 10^12-row strategy; driver_max_edges=0 forces it even though this edge
+# set would fit the driver) over token-Jaccard near-dup edges (the q17
+# rule at 0.9 over all docs — a deterministic, SQL-expressible edge set
+# with one ~233-node hairball plus pair satellites, so min-label
+# propagation genuinely multi-hops). The DuckDB oracle computes the same
+# partition by recursive-CTE transitive closure: component = MIN reachable
+# key. Keys are zero-padded so lexicographic order == numeric order in
+# both engines; the Jaccard threshold compares in integers (10*n_common >=
+# 9*union) so no float boundary can diverge.
+def q37_connected_components(spark, sf_dir):
+    from pelinker_spark.cc import connected_components
+
+    d = rd(spark, sf_dir, "documents")
+    key = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    tok = d.select(
+        key.alias("k"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    sz = tok.groupBy("k").agg(F.count("*").alias("n"))
+    inter = (
+        tok.withColumnRenamed("k", "ka")
+        .join(tok.withColumnRenamed("k", "kb"), "t")
+        .where(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("k").alias("ka"), F.col("n").alias("na")), "ka")
+        .join(sz.select(F.col("k").alias("kb"), F.col("n").alias("nb")), "kb")
+        .where(
+            F.col("n_common") * 10
+            >= (F.col("na") + F.col("nb") - F.col("n_common")) * 9
+        )
+        .select("ka", "kb")
+    )
+    comp = connected_components(pairs, "ka", "kb", driver_max_edges=0)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("n_members"))
+        .select(F.col("component").alias("cluster_id"), "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+SQL_Q37 = """
+WITH RECURSIVE tok AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k,
+         unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents),
+sz AS (SELECT k, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT ka, kb FROM inter
+  JOIN sz sa ON sa.k = ka
+  JOIN sz sb ON sb.k = kb
+  WHERE n_common * 10 >= (sa.n + sb.n - n_common) * 9),
+edges AS (
+  SELECT ka AS a, kb AS b FROM pairs
+  UNION
+  SELECT kb AS a, ka AS b FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+SELECT component AS cluster_id, COUNT(*) AS n_members
+FROM comp GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1311,6 +1386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_grid_aggregate": q34_grid_aggregate,
     "q35_incident_scores": q35_incident_scores,
     "q36_emission_caps": q36_emission_caps,
+    "q37_connected_components": q37_connected_components,
 }
 
 ORACLES: dict[str, str] = {
@@ -1350,4 +1426,5 @@ ORACLES: dict[str, str] = {
     "q34_grid_aggregate": SQL_Q34,
     "q35_incident_scores": SQL_Q35,
     "q36_emission_caps": SQL_Q36,
+    "q37_connected_components": SQL_Q37,
 }
