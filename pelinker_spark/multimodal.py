@@ -2,20 +2,24 @@
 typed metadata, plus the Spark-side plumbing for decode / feature-extract /
 resize / frame-sample.
 
-Uncompressed formats decode NATIVELY (pure byte parsing, no codecs): WAV
-PCM audio, PPM (P6) and 24-bit BMP images — `_decode_real` handles these
-end-to-end, and `synth_media` emits real WAV/PPM payloads so the real
-path is round-trip tested. Compressed formats (PNG/JPEG/MP4) still raise
-NotImplementedError — those genuinely need PIL/ffmpeg, absent in this
-container; everything Spark-level around them (schemas, Arrow batch
-shapes, mapInPandas signatures, partitioning) is identical, so swapping
-in a codec body changes nothing else.
+Formats whose codecs live in the stdlib decode NATIVELY: WAV PCM audio,
+PPM (P6) and 24-bit BMP images (pure byte parsing), and PNG (zlib
+inflate + the five filter-method-0 scanline reconstructions, written
+from the PNG spec) — `_decode_real` handles these end-to-end, and
+`synth_media` emits real WAV/PPM/PNG payloads (PNG rows cycle through
+all five filter types) so every real path is round-trip tested.
+Entropy-coded formats (JPEG/MP4) still raise NotImplementedError — those
+genuinely need PIL/ffmpeg, absent in this container; everything
+Spark-level around them (schemas, Arrow batch shapes, mapInPandas
+signatures, partitioning) is identical, so swapping in a codec body
+changes nothing else.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -46,10 +50,11 @@ FEATURE_SCHEMA = T.StructType(
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table. Image and audio payloads are REAL
-    encoded bytes (binary PPM, PCM16 WAV — both decode natively in
+    encoded bytes (binary PPM or PNG — PNG rows cycle through all five
+    scanline filters — and PCM16 WAV; all decode natively in
     `_decode_real`, round-trip tested); video stays an opaque fake mp4
-    payload (compressed container, codec-gated). All content derives from
-    (seed, id), so any partitioning yields identical rows."""
+    payload (entropy-coded container, codec-gated). All content derives
+    from (seed, id), so any partitioning yields identical rows."""
     rng = spark.range(n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -65,12 +70,14 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                 prng = np.random.RandomState(h % (2**31))
                 if kind == "image":
                     w, ht = 4 + h % 13, 4 + (h >> 8) % 13
-                    payload = encode_ppm(
-                        prng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8)
-                    )
-                    mime, width, height, dur = (
-                        "image/x-portable-pixmap", w, ht, None,
-                    )
+                    rgb = prng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8)
+                    if (h >> 16) & 1:
+                        payload = encode_png(rgb, filters=(0, 1, 2, 3, 4))
+                        mime = "image/png"
+                    else:
+                        payload = encode_ppm(rgb)
+                        mime = "image/x-portable-pixmap"
+                    width, height, dur = w, ht, None
                 elif kind == "audio":
                     n_samp, rate = 32 + h % 97, 8000
                     payload = encode_wav_pcm16(
@@ -120,6 +127,151 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
         rgb, dtype=np.uint8
     ).tobytes()
+
+
+def _paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG filter 4): pick whichever of
+    left/up/upper-left is closest to a+b-c, ties in that order."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    rgb: np.ndarray, filters: tuple[int, ...] | None = None
+) -> bytes:
+    """Minimal PNG writer: 8-bit RGB (color type 2), non-interlaced,
+    stdlib zlib/struct only. `filters` cycles per-row filter types (0-4)
+    so decode tests can exercise every reconstruction path; default
+    all-None (0). Filtering is fully vectorizable at encode time because
+    the predictors read the ORIGINAL neighbor bytes, not reconstructed
+    ones."""
+    h, w, _ = rgb.shape
+    arr = np.ascontiguousarray(rgb, dtype=np.uint8)
+    bpp = 3
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    out = bytearray()
+    for r in range(h):
+        row = arr[r].reshape(-1).astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+        ft = 0 if filters is None else int(filters[r % len(filters)])
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - (left + prior) // 2
+        elif ft == 4:
+            filt = row - _paeth_predictor(left, prior, ul)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (1, H, W) float32 grayscale in [0, 1] (color channels
+    averaged, alpha dropped). Stdlib zlib + the spec's filter-method-0
+    scanline reconstruction; 8-bit depth, non-interlaced, color types
+    0/2/3/4/6. Sub/Average/Paeth rows need the RECONSTRUCTED left byte,
+    so those run a per-byte scan — fine for the metadata-sized imagery
+    this path feeds; Up/None rows stay vectorized."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, hdr = 8, bytearray(), None, None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt_method, interlace = hdr
+    if depth != 8 or comp != 0 or filt_method != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodes natively (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if n_ch is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * n_ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG IDAT truncated")
+    prior = np.zeros(stride, np.int64)
+    recon = np.empty((h, stride), np.uint8)
+    for r in range(h):
+        base = r * (stride + 1)
+        ft = raw[base]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=base + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prior) % 256
+        elif ft == 1:
+            cur = line
+            for i in range(n_ch, stride):
+                cur[i] = (cur[i] + cur[i - n_ch]) % 256
+        elif ft == 3:
+            cur = line
+            for i in range(stride):
+                left = cur[i - n_ch] if i >= n_ch else 0
+                cur[i] = (cur[i] + (left + prior[i]) // 2) % 256
+        elif ft == 4:
+            cur = line
+            for i in range(stride):
+                a = cur[i - n_ch] if i >= n_ch else 0
+                b = prior[i]
+                c = prior[i - n_ch] if i >= n_ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        recon[r] = cur.astype(np.uint8)
+        prior = cur
+    px = recon.reshape(h, w, n_ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        gray = plte[px[:, :, 0]].astype(np.float32).mean(axis=2)
+    elif color in (0, 4):
+        gray = px[:, :, 0].astype(np.float32)
+    else:  # 2 / 6: average RGB, drop alpha
+        gray = px[:, :, :3].astype(np.float32).mean(axis=2)
+    return (gray / 255.0)[None, :, :]
 
 
 def _decode_wav(payload: bytes) -> np.ndarray:
@@ -213,6 +365,8 @@ def _decode_real(payload: bytes, mime: str) -> np.ndarray:
         return _decode_ppm(bytes(payload))
     if mime == "image/bmp":
         return _decode_bmp(bytes(payload))
+    if mime == "image/png":
+        return _decode_png(bytes(payload))
     raise NotImplementedError(
         f"{mime} requires codecs not available in this environment; "
         "swap in PIL/ffmpeg here — the Spark plumbing is unchanged"

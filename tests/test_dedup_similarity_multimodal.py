@@ -152,18 +152,62 @@ def test_real_decoders_roundtrip():
     out = _decode_real(bmp, "image/bmp")
     assert out.shape == (1, h, w)
     assert np.allclose(out[0], px.astype(np.float32).mean(axis=2) / 255.0)
-    # compressed formats still raise (codec-gated, clearly marked)
+    # entropy-coded formats still raise (codec-gated, clearly marked)
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        _decode_real(b"\x89PNG...", "image/png")
+        _decode_real(b"\xff\xd8\xff\xe0jpeg...", "image/jpeg")
     with _pytest.raises(NotImplementedError):
         _decode_real(b"....ftypmp4", "video/mp4")
 
 
+def test_png_roundtrip_all_filters():
+    """PNG decodes natively via stdlib zlib: the decoder reconstructs
+    every filter-method-0 scanline type (None/Sub/Up/Average/Paeth)
+    byte-exactly, per the PNG spec's reconstruction functions."""
+    import numpy as np
+
+    from pelinker_spark.multimodal import _decode_real, encode_png
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(11, 7, 3)).astype(np.uint8)
+    expected = rgb.astype(np.float32).mean(axis=2) / 255.0
+    # each filter type alone, then all five cycled
+    for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+        img = _decode_real(encode_png(rgb, filters=filters), "image/png")
+        assert img.shape == (1, 11, 7), filters
+        assert np.allclose(img[0], expected), f"filters={filters}"
+    # default (no filtering) and a 1-pixel edge case
+    assert np.allclose(_decode_real(encode_png(rgb), "image/png")[0], expected)
+    one = np.array([[[10, 20, 30]]], dtype=np.uint8)
+    assert np.allclose(
+        _decode_real(encode_png(one, filters=(4,)), "image/png")[0],
+        one.astype(np.float32).mean(axis=2) / 255.0,
+    )
+    # 16-bit / interlaced stay gated
+    import pytest as _pytest
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        _decode_real(deep, "image/png")
+
+
 def test_real_decoder_feature_extraction(spark):
     """The REAL decode path runs end-to-end over synth_media's genuine
-    WAV/PPM payloads (video filtered out: compressed, codec-gated)."""
+    WAV/PPM/PNG payloads (video filtered out: entropy-coded, codec-gated)."""
     media = synth_media(spark, 90, seed=3).where(F.col("kind") != "video")
     pdf = extract_media_features(media, use_fake_decoder=False).toPandas()
     assert len(pdf) == media.count() > 0
