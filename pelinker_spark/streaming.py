@@ -483,16 +483,23 @@ def recover_compaction(spark: SparkSession, out_dir: str) -> bool:
     pending = f"{out_dir}/{_PENDING_MARKER}"
     if not _fs_exists(spark, pending):
         return False
-    upto = int(json.loads(fs_read_text(spark, pending))["upto"])
-    for table in _STATE_TABLES:
+    st = json.loads(fs_read_text(spark, pending))
+    upto = int(st["upto"])
+    edges_upto = int(st.get("edges_upto", BASE_BATCH))
+    caps = {t: upto for t in _STATE_TABLES}
+    if edges_upto > BASE_BATCH:
+        caps["edges"] = edges_upto
+    for table, cap in caps.items():
         if _fs_exists(spark, f"{out_dir}/.compact_tmp/{table}"):
-            _swap_in_base(spark, out_dir, table, upto)
+            _swap_in_base(spark, out_dir, table, cap)
         else:
-            for d in _batch_dirs_leq(spark, f"{out_dir}/{table}", upto):
+            for d in _batch_dirs_leq(spark, f"{out_dir}/{table}", cap):
                 if not d.endswith(f"batch_id={BASE_BATCH}"):
                     fs_delete(spark, d)
     fs_write_text_atomic(
-        spark, f"{out_dir}/{_COMPACT_MARKER}", json.dumps({"upto": upto})
+        spark,
+        f"{out_dir}/{_COMPACT_MARKER}",
+        json.dumps({"upto": upto, "edges_upto": edges_upto}),
     )
     fs_delete(spark, f"{out_dir}/.compact_tmp")
     fs_delete(spark, pending)
@@ -523,10 +530,22 @@ def compact_incremental_state(
     (the rows are already in the base), so a foreachBatch replay of a
     folded micro-batch cannot duplicate membership or re-inflate caps.
 
-    Returns {"upto": W, "tables": {table: n_rows}}."""
+    The edges/ table (the last unbounded partition growth in the
+    incremental path) folds too, but capped at the incremental-CC
+    watermark: incremental_components advances its persisted map by
+    reading edge batches ABOVE its watermark, so moving a not-yet-seen
+    batch into the base partition (batch_id=-1, below every watermark)
+    would silently drop those edges from the map. Edge batches at or
+    below min(upto_batch_id, cc_watermark) are provably absorbed (or,
+    when no CC state exists yet, will be read via the from-scratch
+    path, which includes the base). Not safe concurrently with a
+    running incremental_components call — run both from the same
+    periodic driver step, as run_incremental_link does.
+
+    Returns {"upto": W, "edges_upto": E, "tables": {table: n_rows}}."""
     import json
 
-    from .fsio import fs_delete, fs_write_text_atomic
+    from .fsio import fs_delete, fs_read_text, fs_write_text_atomic
     from .pipeline import LinkConfig
 
     cfg = cfg or LinkConfig()
@@ -553,19 +572,47 @@ def compact_incremental_state(
             - 1
         )
     if upto_batch_id <= BASE_BATCH:
-        return {"upto": compacted_upto(spark, out_dir), "tables": {}}
+        return {
+            "upto": compacted_upto(spark, out_dir),
+            "edges_upto": BASE_BATCH,
+            "tables": {},
+        }
+
+    # edges cap: never fold a batch the persisted CC map hasn't absorbed
+    cc_marker = f"{out_dir}/{_CC_STATE}/{_CC_MARKER}"
+    if _fs_exists(spark, cc_marker):
+        cc_upto = int(json.loads(fs_read_text(spark, cc_marker))["upto"])
+        edges_upto = min(upto_batch_id, cc_upto)
+    else:
+        edges_upto = upto_batch_id
+    edge_dirs = _batch_dirs_leq(spark, f"{out_dir}/edges", edges_upto)
+    fold_edges = edges_upto > BASE_BATCH and any(
+        not d.endswith(f"batch_id={BASE_BATCH}") for d in edge_dirs
+    )
+    if not fold_edges:
+        edges_upto = BASE_BATCH  # sentinel: no edge swap this round
 
     fs_delete(spark, f"{out_dir}/.compact_tmp")
     counts: dict[str, int] = {}
-    for table in _STATE_TABLES:
+    caps = {t: upto_batch_id for t in _STATE_TABLES}
+    if fold_edges:
+        caps["edges"] = edges_upto
+    for table, cap in caps.items():
         src = spark.read.parquet(f"{out_dir}/{table}").where(
-            F.col("batch_id") <= upto_batch_id
+            F.col("batch_id") <= cap
         )
         keys = _COUNT_KEYS.get(table)
         if keys:
             # additive increments -> one pre-summed increment row per key
             folded = src.groupBy(*keys).agg(F.sum("n").alias("n"))
             writer = folded.repartition(*keys).write
+        elif table == "edges":
+            # edges carry no pfx column (they are never prefix-pruned;
+            # CC reads them in full) — cap file count at the same knob
+            folded = src.drop("batch_id")
+            writer = folded.repartition(
+                int(getattr(cfg, "state_prefixes", 64))
+            ).write
         else:
             # membership rows are immutable; one file per pfx dir keeps
             # the post-compaction file count == cfg.state_prefixes
@@ -577,18 +624,18 @@ def compact_incremental_state(
     fs_write_text_atomic(
         spark,
         f"{out_dir}/{_PENDING_MARKER}",
-        json.dumps({"upto": upto_batch_id}),
+        json.dumps({"upto": upto_batch_id, "edges_upto": edges_upto}),
     )
-    for table in _STATE_TABLES:
-        _swap_in_base(spark, out_dir, table, upto_batch_id)
+    for table, cap in caps.items():
+        _swap_in_base(spark, out_dir, table, cap)
     fs_write_text_atomic(
         spark,
         f"{out_dir}/{_COMPACT_MARKER}",
-        json.dumps({"upto": upto_batch_id}),
+        json.dumps({"upto": upto_batch_id, "edges_upto": edges_upto}),
     )
     fs_delete(spark, f"{out_dir}/.compact_tmp")
     fs_delete(spark, f"{out_dir}/{_PENDING_MARKER}")
-    return {"upto": upto_batch_id, "tables": counts}
+    return {"upto": upto_batch_id, "edges_upto": edges_upto, "tables": counts}
 
 
 def finalize_incremental_link(

@@ -80,14 +80,15 @@ def test_compaction_preserves_pairing_caps_and_state(spark, tmp_path):
     assert ("activate kinase", "activate kinasee") in _edges(spark, cmp_)
 
     # folded partitions physically gone: only base + post-watermark dirs
-    batches = {
-        r["batch_id"]
-        for r in spark.read.parquet(f"{cmp_}/buckets")
-        .select("batch_id")
-        .distinct()
-        .collect()
-    }
-    assert batches == {BASE_BATCH, 2}
+    for t in ("buckets", "edges"):
+        batches = {
+            r["batch_id"]
+            for r in spark.read.parquet(f"{cmp_}/{t}")
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        assert batches == {BASE_BATCH, 2}, t
 
 
 def test_replay_of_folded_batch_is_noop(spark, tmp_path):
@@ -156,12 +157,75 @@ def test_crash_recovery_mid_swap(spark, tmp_path, monkeypatch):
     assert compacted_upto(spark, crash) == 1
     assert recover_compaction(spark, crash) is False  # idempotent
 
-    for t in _STATE_TABLES:
+    for t in (*_STATE_TABLES, "edges"):
         a = spark.read.parquet(f"{crash}/{t}")
         b = spark.read.parquet(f"{clean}/{t}")
         assert a.count() == b.count(), t
         assert a.exceptAll(b).count() == 0, t
-    assert expect["upto"] == 1
+    assert expect["upto"] == 1 and expect["edges_upto"] == 1
+
+
+def test_edges_fold_capped_at_cc_watermark(spark, tmp_path):
+    """Edge batches the persisted incremental-CC map has NOT absorbed
+    must never move into the base partition (batch_id=-1 sits below
+    every watermark, so folding them would silently drop their edges
+    from the map). Batches at or below the CC watermark fold; the
+    post-compaction incremental map must equal the pre-compaction one
+    row for row."""
+    from pelinker_spark.streaming import incremental_components
+
+    out = str(tmp_path / "st")
+    _drip(spark, out, 2)  # edge batches 0, 1, 2
+    # persists the map up to safe=1 (newest spared), folds batch 2 on
+    # the fly into the RETURNED map
+    before = {
+        (r.key, r.component)
+        for r in incremental_components(spark, out).collect()
+    }
+
+    res = compact_incremental_state(spark, out, CFG, upto_batch_id=2)
+    assert res["upto"] == 2  # membership folds to the requested cap
+    assert res["edges_upto"] == 1  # edges stop at the CC watermark
+
+    edge_batches = {
+        r["batch_id"]
+        for r in spark.read.parquet(f"{out}/edges")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    assert edge_batches == {BASE_BATCH, 2}
+
+    after = {
+        (r.key, r.component)
+        for r in incremental_components(spark, out).collect()
+    }
+    assert after == before
+
+
+def test_edges_fold_without_cc_state(spark, tmp_path):
+    """With no persisted CC map, every requested edge batch folds (the
+    from-scratch incremental-CC path reads the base partition), and a
+    later incremental_components over the folded state matches full CC
+    over the unfolded reference run."""
+    from pelinker_spark.cc import connected_components
+    from pelinker_spark.streaming import incremental_components
+
+    ref, cmp_ = str(tmp_path / "ref"), str(tmp_path / "cmp")
+    _drip(spark, ref, 2)
+    _drip(spark, cmp_, 2)
+
+    res = compact_incremental_state(spark, cmp_, CFG, upto_batch_id=1)
+    assert res["edges_upto"] == 1
+    got = {
+        (r.key, r.component)
+        for r in incremental_components(spark, cmp_).collect()
+    }
+    full = connected_components(
+        spark.read.parquet(f"{ref}/edges"), "key_a", "key_b"
+    )
+    expect = {(r.key, r.component) for r in full.collect()}
+    assert got == expect
 
 
 def test_run_incremental_link_compact_every(spark, tmp_path):
