@@ -1349,6 +1349,38 @@ FROM comp GROUP BY 1 ORDER BY 1
 """
 
 
+# J1/north-rule skew handling, oracle-checked: triangle-salted
+# within-block pair enumeration (blocking.salted_block_pairs — each
+# block's n^2 pair work spread over S(S+1)/2 shuffle cells) must equal
+# the plain within-block self-join pair set, row for row. Blocks =
+# document language (skewed: en holds ~44% of rows at sf0.01, so the
+# hot block genuinely dominates); S=8. Keys zero-padded so both engines
+# order identically.
+def q38_salted_block_pairs(spark, sf_dir):
+    from pelinker_spark.blocking import salted_block_pairs
+
+    d = rd(spark, sf_dir, "documents")
+    m = d.select(
+        F.col("lang").alias("blk"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("key"),
+    )
+    return (
+        salted_block_pairs(m, ["blk"], "key", num_salts=8)
+        .select("blk", "key_a", "key_b")
+        .orderBy("blk", "key_a", "key_b")
+    )
+
+
+SQL_Q38 = """
+WITH m AS (
+  SELECT lang AS blk, lpad(CAST(doc_id AS VARCHAR), 6, '0') AS key
+  FROM documents)
+SELECT a.blk AS blk, a.key AS key_a, b.key AS key_b
+FROM m a JOIN m b ON a.blk = b.blk AND a.key < b.key
+ORDER BY a.blk, key_a, key_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1387,6 +1419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_incident_scores": q35_incident_scores,
     "q36_emission_caps": q36_emission_caps,
     "q37_connected_components": q37_connected_components,
+    "q38_salted_block_pairs": q38_salted_block_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -1427,4 +1460,5 @@ ORACLES: dict[str, str] = {
     "q35_incident_scores": SQL_Q35,
     "q36_emission_caps": SQL_Q36,
     "q37_connected_components": SQL_Q37,
+    "q38_salted_block_pairs": SQL_Q38,
 }

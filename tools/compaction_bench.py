@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-STATE_TABLES = ("buckets", "compact", "bucket_counts", "group_counts")
+STATE_TABLES = ("buckets", "compact", "bucket_counts", "group_counts", "edges")
 
 
 def parquet_files(root: str) -> int:
@@ -31,6 +31,13 @@ def parquet_files(root: str) -> int:
     for _, _, files in os.walk(root):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def batch_dirs(root: str) -> int:
+    try:
+        return sum(1 for d in os.listdir(root) if d.startswith("batch_id="))
+    except FileNotFoundError:
+        return 0
 
 
 def main() -> None:
@@ -69,6 +76,9 @@ def main() -> None:
             result[f"{variant}_sec"] = round(time.monotonic() - t0, 2)
             result[f"{variant}_state_files"] = {
                 t: parquet_files(f"{out}/{t}") for t in STATE_TABLES
+            }
+            result[f"{variant}_batch_dirs"] = {
+                t: batch_dirs(f"{out}/{t}") for t in STATE_TABLES
             }
             edges[variant] = {
                 (r["key_a"], r["key_b"])
