@@ -33,6 +33,10 @@ HEADLINE = [
     "q17_token_jaccard",
     "q18_cosine_topk",
     "q22_minhash_signatures",
+    # the pairwise JW scorer (gate + vectorized exact kernel) over ~400k
+    # blocked document-prefix pairs at sf0.1 — the per-round signal for
+    # the scoring hot path (round 4)
+    "q39_jw_pair_scores",
 ]
 
 

