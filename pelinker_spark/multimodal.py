@@ -2,17 +2,20 @@
 typed metadata, plus the Spark-side plumbing for decode / feature-extract /
 resize / frame-sample.
 
-Formats whose codecs live in the stdlib decode NATIVELY: WAV PCM audio,
-PPM (P6) and 24-bit BMP images (pure byte parsing), and PNG (zlib
-inflate + the five filter-method-0 scanline reconstructions, written
-from the PNG spec) — `_decode_real` handles these end-to-end, and
-`synth_media` emits real WAV/PPM/PNG payloads (PNG rows cycle through
-all five filter types) so every real path is round-trip tested.
-Entropy-coded formats (JPEG/MP4) still raise NotImplementedError — those
-genuinely need PIL/ffmpeg, absent in this container; everything
-Spark-level around them (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is identical, so swapping in a codec body
-changes nothing else.
+Every image and audio format decodes NATIVELY (stdlib + numpy, no
+codec libraries): WAV PCM audio, PPM (P6) and 24-bit BMP images (pure
+byte parsing), PNG (zlib inflate + the five filter-method-0 scanline
+reconstructions, written from the PNG spec), and baseline JPEG (a
+from-the-T.81-spec numpy codec in `pelinker_spark.jpeg`: Huffman +
+zigzag + DC-diff entropy layer, 8x8 DCT quantization — the entropy
+layer is lossless and round-trip tested bit-exactly). `_decode_real`
+handles these end-to-end, and `synth_media` emits real WAV/PPM/PNG/JPEG
+payloads (PNG rows cycle through all five filter types) so every real
+path is round-trip tested. Only video containers (MP4) still raise
+NotImplementedError — inter-frame codecs genuinely need ffmpeg, absent
+in this container; everything Spark-level around them (schemas, Arrow
+batch shapes, mapInPandas signatures, partitioning) is identical, so
+swapping in a codec body changes nothing else.
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from pelinker_spark.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -50,11 +55,11 @@ FEATURE_SCHEMA = T.StructType(
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic media table. Image and audio payloads are REAL
-    encoded bytes (binary PPM or PNG — PNG rows cycle through all five
-    scanline filters — and PCM16 WAV; all decode natively in
-    `_decode_real`, round-trip tested); video stays an opaque fake mp4
-    payload (entropy-coded container, codec-gated). All content derives
-    from (seed, id), so any partitioning yields identical rows."""
+    encoded bytes (binary PPM, PNG — cycling all five scanline filters —
+    baseline JPEG, and PCM16 WAV; all decode natively in `_decode_real`,
+    round-trip tested); video stays an opaque fake mp4 payload
+    (inter-frame codec, ffmpeg-gated). All content derives from
+    (seed, id), so any partitioning yields identical rows."""
     rng = spark.range(n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -69,11 +74,18 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                 kind = kinds[h % 3]
                 prng = np.random.RandomState(h % (2**31))
                 if kind == "image":
-                    w, ht = 4 + h % 13, 4 + (h >> 8) % 13
+                    fmt = (h >> 16) % 3
+                    if fmt == 2:  # JPEG needs 8-multiple dims (4:4:4 MCUs)
+                        w, ht = 8 * (1 + h % 3), 8 * (1 + (h >> 8) % 3)
+                    else:
+                        w, ht = 4 + h % 13, 4 + (h >> 8) % 13
                     rgb = prng.randint(0, 256, size=(ht, w, 3)).astype(np.uint8)
-                    if (h >> 16) & 1:
+                    if fmt == 1:
                         payload = encode_png(rgb, filters=(0, 1, 2, 3, 4))
                         mime = "image/png"
+                    elif fmt == 2:
+                        payload = encode_jpeg(rgb, quality=90)
+                        mime = "image/jpeg"
                     else:
                         payload = encode_ppm(rgb)
                         mime = "image/x-portable-pixmap"
@@ -356,9 +368,10 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def _decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """bytes → (frames, H, W) float array. Uncompressed formats parse
-    natively (stdlib struct + numpy, no codecs); compressed mimes raise —
-    swapping in PIL/ffmpeg here changes nothing Spark-side."""
+    """bytes → (frames, H, W) float array. All image/audio formats parse
+    natively (stdlib struct/zlib + numpy, no codec libraries — JPEG via
+    the from-spec codec in pelinker_spark.jpeg); only video raises —
+    swapping in ffmpeg here changes nothing Spark-side."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(bytes(payload))
     if mime in ("image/x-portable-pixmap", "image/ppm"):
@@ -367,9 +380,13 @@ def _decode_real(payload: bytes, mime: str) -> np.ndarray:
         return _decode_bmp(bytes(payload))
     if mime == "image/png":
         return _decode_png(bytes(payload))
+    if mime in ("image/jpeg", "image/jpg"):
+        rgb = decode_jpeg(bytes(payload))
+        return (rgb.astype(np.float32) / 255.0).mean(axis=2)[None, :, :]
     raise NotImplementedError(
-        f"{mime} requires codecs not available in this environment; "
-        "swap in PIL/ffmpeg here — the Spark plumbing is unchanged"
+        f"{mime} requires codecs not available in this environment "
+        "(inter-frame video needs ffmpeg); swap in ffmpeg here — the "
+        "Spark plumbing is unchanged"
     )
 
 

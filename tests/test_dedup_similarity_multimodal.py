@@ -152,11 +152,10 @@ def test_real_decoders_roundtrip():
     out = _decode_real(bmp, "image/bmp")
     assert out.shape == (1, h, w)
     assert np.allclose(out[0], px.astype(np.float32).mean(axis=2) / 255.0)
-    # entropy-coded formats still raise (codec-gated, clearly marked)
+    # video stays codec-gated (inter-frame, needs ffmpeg); JPEG decodes
+    # natively now (test_jpeg.py)
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        _decode_real(b"\xff\xd8\xff\xe0jpeg...", "image/jpeg")
     with _pytest.raises(NotImplementedError):
         _decode_real(b"....ftypmp4", "video/mp4")
 
@@ -207,7 +206,8 @@ def test_png_roundtrip_all_filters():
 
 def test_real_decoder_feature_extraction(spark):
     """The REAL decode path runs end-to-end over synth_media's genuine
-    WAV/PPM/PNG payloads (video filtered out: entropy-coded, codec-gated)."""
+    WAV/PPM/PNG/JPEG payloads (video filtered out: inter-frame,
+    codec-gated)."""
     media = synth_media(spark, 90, seed=3).where(F.col("kind") != "video")
     pdf = extract_media_features(media, use_fake_decoder=False).toPandas()
     assert len(pdf) == media.count() > 0
