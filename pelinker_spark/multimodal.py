@@ -9,13 +9,15 @@ reconstructions, written from the PNG spec), and baseline JPEG (a
 from-the-T.81-spec numpy codec in `pelinker_spark.jpeg`: Huffman +
 zigzag + DC-diff entropy layer, 8x8 DCT quantization — the entropy
 layer is lossless and round-trip tested bit-exactly). `_decode_real`
-handles these end-to-end, and `synth_media` emits real WAV/PPM/PNG/JPEG
-payloads (PNG rows cycle through all five filter types) so every real
-path is round-trip tested. Only video containers (MP4) still raise
-NotImplementedError — inter-frame codecs genuinely need ffmpeg, absent
-in this container; everything Spark-level around them (schemas, Arrow
-batch shapes, mapInPandas signatures, partitioning) is identical, so
-swapping in a codec body changes nothing else.
+handles these end-to-end — including VIDEO via MJPEG-in-AVI (a minimal
+RIFF container walk whose frames are independent baseline JPEGs) — and
+`synth_media` emits real WAV/PPM/PNG/JPEG/AVI payloads (PNG rows cycle
+through all five filter types) so every real path is round-trip tested.
+Only inter-frame video codecs (MP4/H.264) still raise
+NotImplementedError — those genuinely need ffmpeg, absent in this
+container; everything Spark-level around them (schemas, Arrow batch
+shapes, mapInPandas signatures, partitioning) is identical, so swapping
+in a codec body changes nothing else.
 """
 
 from __future__ import annotations
@@ -54,12 +56,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic media table. Image and audio payloads are REAL
-    encoded bytes (binary PPM, PNG — cycling all five scanline filters —
-    baseline JPEG, and PCM16 WAV; all decode natively in `_decode_real`,
-    round-trip tested); video stays an opaque fake mp4 payload
-    (inter-frame codec, ffmpeg-gated). All content derives from
-    (seed, id), so any partitioning yields identical rows."""
+    """Deterministic media table. Image, audio, AND half the video
+    payloads are REAL encoded bytes (binary PPM, PNG — cycling all five
+    scanline filters — baseline JPEG, PCM16 WAV, and multi-frame
+    MJPEG-in-AVI; all decode natively in `_decode_real`, round-trip
+    tested); the other video half stays an opaque fake mp4 payload
+    (inter-frame codec, ffmpeg-gated) to keep the gate path exercised.
+    All content derives from (seed, id), so any partitioning yields
+    identical rows."""
     rng = spark.range(n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,7 +101,19 @@ def synth_media(spark, n: int, seed: int = 42) -> DataFrame:
                     )
                     mime, width, height = "audio/wav", None, None
                     dur = int(n_samp * 1000 / rate)
-                else:
+                elif (h >> 16) & 1:  # real MJPEG-in-AVI video
+                    width, height = 8 * (1 + h % 3), 8 * (1 + (h >> 8) % 3)
+                    n_frames, fps = 2 + (h >> 4) % 5, 10
+                    frames = [
+                        prng.randint(0, 256, size=(height, width, 3)).astype(
+                            np.uint8
+                        )
+                        for _ in range(n_frames)
+                    ]
+                    payload = encode_avi_mjpeg(frames, fps=fps)
+                    mime = "video/x-msvideo"
+                    dur = int(n_frames * 1000 / fps)
+                else:  # inter-frame container stays an opaque fake (ffmpeg-gated)
                     payload = hashlib.md5(
                         f"{seed}:payload:{i}".encode()
                     ).digest() * (2 + h % 6)
@@ -367,11 +383,112 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return (img.astype(np.float32) / 255.0).mean(axis=2)[None, :, :]
 
 
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 10, quality: int = 90
+) -> bytes:
+    """Minimal AVI (RIFF) writer carrying Motion-JPEG: every frame is an
+    independently-encoded baseline JPEG in a '00dc' chunk — no
+    inter-frame prediction, so the whole container decodes with the
+    from-spec JPEG codec. hdrl (avih + strl/strh/strf) + movi + idx1,
+    per the AVI RIFF spec. All frames must share (H, W), multiples of 8.
+    """
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    payloads = [encode_jpeg(f, quality=quality) for f in frames]
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""  # chunks are word-aligned
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_sz = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_sz * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_sz,  # total frames, initial, streams, bufsize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      max_sz, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(  # BITMAPINFOHEADER, biCompression='MJPG'
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", p) for p in payloads)
+    movi = lst(b"movi", movi_body)
+    # idx1: (chunk id, flags, offset from 'movi' fourcc, size)
+    idx = bytearray()
+    off = 4
+    for p in payloads:
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(p))  # AVIIF_KEYFRAME
+        off += 8 + len(p) + (len(p) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """AVI/MJPEG → (n_frames, H, W) float32 grayscale in [0, 1]. Walks
+    the RIFF tree to the 'movi' list and decodes every video chunk
+    ('NNdc'/'NNdb') with the from-spec JPEG codec. Non-MJPEG streams
+    (inter-frame codecs) raise — those genuinely need ffmpeg."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    frames: list[np.ndarray] = []
+    compression: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_end = pos + 8 + size
+            if cid == b"LIST":
+                walk(buf, pos + 12, data_end)
+            elif cid == b"strf" and size >= 20:
+                compression.append(buf[pos + 8 + 16 : pos + 8 + 20])
+            elif cid[2:4] in (b"dc", b"db") and size > 0:
+                body = buf[pos + 8 : data_end]
+                if body[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "non-MJPEG video stream: inter-frame codecs need "
+                        "ffmpeg; the Spark plumbing is unchanged"
+                    )
+                rgb = decode_jpeg(body)
+                frames.append(
+                    (rgb.astype(np.float32) / 255.0).mean(axis=2)
+                )
+            pos = data_end + (size & 1)  # word alignment
+
+    walk(payload, 12, len(payload))
+    if compression and compression[0] not in (b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"AVI stream codec {compression[0]!r} needs ffmpeg"
+        )
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    return np.stack(frames)
+
+
 def _decode_real(payload: bytes, mime: str) -> np.ndarray:
-    """bytes → (frames, H, W) float array. All image/audio formats parse
-    natively (stdlib struct/zlib + numpy, no codec libraries — JPEG via
-    the from-spec codec in pelinker_spark.jpeg); only video raises —
-    swapping in ffmpeg here changes nothing Spark-side."""
+    """bytes → (frames, H, W) float array. EVERY synthetic-media format
+    parses natively (stdlib struct/zlib + numpy, no codec libraries —
+    JPEG via the from-spec codec in pelinker_spark.jpeg, video via
+    MJPEG-in-AVI whose frames are independent JPEGs); only inter-frame
+    video codecs (MP4/H.264) raise — swapping in ffmpeg there changes
+    nothing Spark-side."""
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return _decode_wav(bytes(payload))
     if mime in ("image/x-portable-pixmap", "image/ppm"):
@@ -383,6 +500,8 @@ def _decode_real(payload: bytes, mime: str) -> np.ndarray:
     if mime in ("image/jpeg", "image/jpg"):
         rgb = decode_jpeg(bytes(payload))
         return (rgb.astype(np.float32) / 255.0).mean(axis=2)[None, :, :]
+    if mime in ("video/avi", "video/x-msvideo"):
+        return _decode_avi_mjpeg(bytes(payload))
     raise NotImplementedError(
         f"{mime} requires codecs not available in this environment "
         "(inter-frame video needs ffmpeg); swap in ffmpeg here — the "

@@ -206,19 +206,30 @@ def test_png_roundtrip_all_filters():
 
 def test_real_decoder_feature_extraction(spark):
     """The REAL decode path runs end-to-end over synth_media's genuine
-    WAV/PPM/PNG/JPEG payloads (video filtered out: inter-frame,
-    codec-gated)."""
-    media = synth_media(spark, 90, seed=3).where(F.col("kind") != "video")
+    WAV/PPM/PNG/JPEG/AVI payloads (only mp4 filtered out: inter-frame,
+    codec-gated) — including real frame-sampling over multi-frame MJPEG
+    video."""
+    media = synth_media(spark, 90, seed=3).where(F.col("mime") != "video/mp4")
     pdf = extract_media_features(media, use_fake_decoder=False).toPandas()
     assert len(pdf) == media.count() > 0
-    meta = media.select("media_id", "kind", "width").toPandas()
+    meta = media.select("media_id", "kind", "width", "duration_ms").toPandas()
     widths = dict(zip(meta.media_id, meta.width))
     kinds = dict(zip(meta.media_id, meta.kind))
+    durs = dict(zip(meta.media_id, meta.duration_ms))
+    saw_multiframe = False
     for mid, feat, nfr in zip(pdf.media_id, pdf.feature, pdf.n_frames):
-        assert nfr == 1
+        if kinds[mid] == "video":
+            # frame_stride=2 over n_frames = duration_ms/100 at 10 fps
+            total = int(durs[mid]) // 100
+            assert nfr == (total + 1) // 2
+            saw_multiframe = saw_multiframe or nfr > 1
+            assert len(feat) == widths[mid]
+        else:
+            assert nfr == 1
         if kinds[mid] == "image":
             # feature is the W-dim column mean of a real decoded image
             assert len(feat) == widths[mid]
         import numpy as np
 
         assert np.isfinite(feat).all()
+    assert saw_multiframe  # frame sampling genuinely exercised

@@ -138,3 +138,62 @@ def test_synth_media_emits_real_jpeg(spark):
         assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
         arr = _decode_real(payload, row["mime"])
         assert arr.shape == (1, row["height"], row["width"])
+
+
+def test_avi_mjpeg_roundtrip():
+    """MJPEG-in-AVI: the container walk recovers every frame, each
+    bit-identical to a standalone decode of its JPEG payload."""
+    from pelinker_spark.multimodal import _decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = [_synth_img(16, 8, seed=s) for s in range(4)]
+    payload = encode_avi_mjpeg(frames, fps=10, quality=90)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    arr = _decode_avi_mjpeg(payload)
+    assert arr.shape == (4, 16, 8)
+    for i, f in enumerate(frames):
+        expected = (
+            _simulate_quant_pipeline(f, 90).astype(np.float32) / 255.0
+        ).mean(axis=2)
+        assert np.allclose(arr[i], expected, atol=1e-6), i
+
+
+def test_avi_gates():
+    from pelinker_spark.multimodal import (
+        _decode_avi_mjpeg,
+        _decode_real,
+        encode_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError):
+        _decode_avi_mjpeg(b"RIFFxxxxWAVE")  # not an AVI
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
+    # a non-JPEG video chunk (inter-frame codec) stays gated
+    payload = bytearray(encode_avi_mjpeg([_synth_img(8, 8, seed=0)]))
+    pos = payload.find(b"00dc") + 8
+    payload[pos : pos + 2] = b"\x00\x00"  # clobber the SOI marker
+    with pytest.raises(NotImplementedError):
+        _decode_avi_mjpeg(bytes(payload))
+    # mime routing via _decode_real
+    arr = _decode_real(
+        encode_avi_mjpeg([_synth_img(8, 16, seed=1)] * 2), "video/x-msvideo"
+    )
+    assert arr.shape == (2, 8, 16)
+
+
+def test_synth_media_emits_real_avi(spark):
+    """Half the video rows now carry genuinely encoded MJPEG-AVI whose
+    decoded frame count and dims match the row metadata."""
+    from pelinker_spark.multimodal import _decode_real, synth_media
+
+    pdf = (
+        synth_media(spark, 300, seed=42)
+        .where("mime = 'video/x-msvideo'")
+        .toPandas()
+    )
+    assert len(pdf) > 0
+    for _, row in pdf.iterrows():
+        arr = _decode_real(bytes(row["payload"]), row["mime"])
+        n, h, w = arr.shape
+        assert (h, w) == (row["height"], row["width"])
+        assert row["duration_ms"] == n * 100  # 10 fps
