@@ -112,17 +112,20 @@ def connected_components(
     filled with {"path": driver|distributed, "iterations": n} for
     observability (bench receipts)."""
     spark = edges.sparkSession
-    # one action decides the strategy AND fetches the edges for the driver
-    # path: fetch at most driver_max_edges+1 rows — if we got them all,
-    # they ARE the edge set (no separate count() pass over the lineage).
+    # Strategy probe in two steps (VERDICT r4 #5): a count-only probe of
+    # at most driver_max_edges+1 rows decides the path — when the edge
+    # set exceeds the cutoff this materializes NOTHING on the driver (the
+    # old fetch-first probe pulled ~cutoff rows of Arrow string data just
+    # to discard them). Only a confirmed-small edge set is then fetched;
     # toPandas rides the Arrow exchange (columnar batches), several times
     # faster than a pickled Row collect at the 10^5-edge scale this path
-    # serves — and this fetch is serial driver time on every link run
-    probe = (
-        edges.select(src, dst).limit(driver_max_edges + 1).toPandas()
-        if driver_max_edges > 0
-        else None
-    )
+    # serves. Call sites cache `edges` before probing (pipeline.py), so
+    # the second action re-reads the cached table, not the lineage.
+    probe = None
+    if driver_max_edges > 0:
+        probe_n = edges.select(src, dst).limit(driver_max_edges + 1).count()
+        if probe_n <= driver_max_edges:
+            probe = edges.select(src, dst).toPandas()
     if probe is not None and len(probe) <= driver_max_edges:
         if stats is not None:
             stats.update(path="driver", iterations=0)

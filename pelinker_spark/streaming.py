@@ -944,7 +944,18 @@ def run_incremental_link(
                     )
                     .select("key")
                 )
-                nk = nk.join(seen, "key", "left_anti")
+                # Inverted probe (VERDICT r4 #1): the accumulated history
+                # is SCANNED but never SHUFFLED. A plain nk ⟕̸ seen
+                # anti-join sort-merges, shuffling every key EVER seen on
+                # every micro-batch — O(history) per batch. Instead
+                # semi-join the history against the (batch-sized, always
+                # broadcastable) new-key set map-side, yielding an
+                # "already seen" set no larger than the batch, then
+                # anti-join the batch against THAT, also broadcast. Both
+                # joins are BroadcastHashJoin; per-batch shuffle volume is
+                # O(batch), independent of accumulated state size.
+                already = seen.join(F.broadcast(nk), "key", "left_semi")
+                nk = nk.join(F.broadcast(already), "key", "left_anti")
             incremental_link_batch(spark, nk, out_dir, cfg, batch_id)
             _maybe_compact(batch_id)
 
