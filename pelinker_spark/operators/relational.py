@@ -1439,6 +1439,165 @@ ORDER BY doc_a, doc_b
 """
 
 
+# §2.10 warm-start contraction CC, oracle-checked (VERDICT r4 #6): the
+# SAME key→component map a cold full CC would produce must come out of
+# the incremental path — old map as super-nodes + new edges → contract →
+# CC over the delta alone → relabel (streaming._advance_components, the
+# per-finalize step of the incremental stream; reference analog: the
+# periodic full re-cluster in pelinker's run loop). Edges = token-Jaccard
+# >= 0.8 near-dup pairs (the q37 rule loosened — a bigger hairball, so
+# merges across the split genuinely happen); the old/new split is a
+# deterministic xxhash64 2/3-1/3 partition of the edge set. The DuckDB
+# oracle computes the closure over the FULL edge set with a recursive
+# CTE and never sees the split, so any contraction bug (wrong relabel,
+# dropped fresh key, stale super-node id) surfaces as a row or
+# value-hash mismatch.
+def q40_incremental_cc(spark, sf_dir):
+    from pelinker_spark.cc import connected_components
+    from pelinker_spark.streaming import _advance_components
+
+    d = rd(spark, sf_dir, "documents")
+    key = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    tok = d.select(
+        key.alias("k"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("t"),
+    )
+    sz = tok.groupBy("k").agg(F.count("*").alias("n"))
+    inter = (
+        tok.withColumnRenamed("k", "ka")
+        .join(tok.withColumnRenamed("k", "kb"), "t")
+        .where(F.col("ka") < F.col("kb"))
+        .groupBy("ka", "kb")
+        .agg(F.count("*").alias("n_common"))
+    )
+    pairs = (
+        inter.join(sz.select(F.col("k").alias("ka"), F.col("n").alias("na")), "ka")
+        .join(sz.select(F.col("k").alias("kb"), F.col("n").alias("nb")), "kb")
+        .where(
+            F.col("n_common") * 10
+            >= (F.col("na") + F.col("nb") - F.col("n_common")) * 8
+        )
+        .select(F.col("ka").alias("key_a"), F.col("kb").alias("key_b"))
+        .persist()
+    )
+    is_old = F.pmod(F.xxhash64("key_a", "key_b"), F.lit(3)) < F.lit(2)
+    old_map = connected_components(
+        pairs.where(is_old), "key_a", "key_b", driver_max_edges=0
+    )
+    out = (
+        _advance_components(old_map, pairs.where(~is_old))
+        .select("key", "component")
+        .orderBy("key")
+    )
+    return out
+
+
+SQL_Q40 = """
+WITH RECURSIVE tok AS (
+  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS k,
+         unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents),
+sz AS (SELECT k, COUNT(*) AS n FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n_common
+  FROM tok a JOIN tok b ON a.t = b.t AND a.k < b.k
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT ka, kb FROM inter
+  JOIN sz sa ON sa.k = ka
+  JOIN sz sb ON sb.k = kb
+  WHERE n_common * 10 >= (sa.n + sb.n - n_common) * 8),
+edges AS (
+  SELECT ka AS a, kb AS b FROM pairs
+  UNION
+  SELECT kb AS a, ka AS b FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS key, MIN(m) AS component FROM reach GROUP BY n ORDER BY n
+"""
+
+
+# Multimodal decode under the value-hash oracle (VERDICT r4 #8): WAV
+# payloads whose int16 PCM samples are an explicit integer function of
+# doc_id (s_j = (doc_id*31 + j*17) % 2001 - 1000 over n = 8 + doc_id % 5
+# samples) are byte-packed into real RIFF/WAVE containers and pushed
+# through the PRODUCTION decode lane (extract_media_features →
+# _decode_wav → mean-pool, default REAL decoder, mapInPandas over Arrow
+# batches). _decode_wav maps int16 exactly to x/32768 in float32 (|s| <=
+# 1000 has <= 11 mantissa bits, so x*32768 recovers s_j exactly in
+# double), so the oracle recomputes SUM(s_j) and the position-weighted
+# SUM(j*s_j) purely arithmetically — any byte-offset, endianness,
+# scaling, or channel-handling defect in the decoder shifts an integer.
+def q41_wav_decode_features(spark, sf_dir):
+    from pelinker_spark.multimodal import extract_media_features
+
+    docs = rd(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 8 + did % 5
+                pcm = b"".join(
+                    struct.pack("<h", (did * 31 + j * 17) % 2001 - 1000)
+                    for j in range(n)
+                )
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                body = (
+                    b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(pcm))
+                    + pcm
+                )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": b"RIFF" + struct.pack("<I", len(body)) + body,
+                        "mime": "audio/wav",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary, mime string")
+    feats = extract_media_features(media)
+    s = F.round(F.col("x") * F.lit(32768.0))
+    return (
+        feats.select(
+            F.col("media_id").alias("doc_id"),
+            F.posexplode("feature").alias("j", "x"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_samples"),
+            F.sum(s).cast("bigint").alias("pcm_sum"),
+            F.sum(s * F.col("j")).cast("bigint").alias("pcm_wsum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_Q41 = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 8 + doc_id % 5)) AS j
+  FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(SUM((doc_id*31 + j*17) % 2001 - 1000) AS BIGINT) AS pcm_sum,
+       CAST(SUM(((doc_id*31 + j*17) % 2001 - 1000) * j) AS BIGINT) AS pcm_wsum
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1479,6 +1638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_connected_components": q37_connected_components,
     "q38_salted_block_pairs": q38_salted_block_pairs,
     "q39_jw_pair_scores": q39_jw_pair_scores,
+    "q40_incremental_cc": q40_incremental_cc,
+    "q41_wav_decode_features": q41_wav_decode_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1521,4 +1682,6 @@ ORACLES: dict[str, str] = {
     "q37_connected_components": SQL_Q37,
     "q38_salted_block_pairs": SQL_Q38,
     "q39_jw_pair_scores": SQL_Q39,
+    "q40_incremental_cc": SQL_Q40,
+    "q41_wav_decode_features": SQL_Q41,
 }
