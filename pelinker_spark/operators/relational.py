@@ -1598,6 +1598,90 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# Image-decode oracles (q42 PPM, q43 PNG): pixels are an explicit
+# integer function of (doc_id, row, col, channel), so the oracle can
+# recompute per-column pixel sums purely arithmetically. The engine side
+# encodes REAL containers (binary P6 / PNG cycling ALL FIVE filter
+# types) and pushes them through the production decode lane
+# (extract_media_features → _decode_ppm/_decode_png → grayscale
+# mean-pool). Recovery is exact despite float32 grayscale: per-column
+# feature x has relative error <~ 2e-6 from float32 ops, and
+# round(x * 255*3*H) needs only abs error < 0.5 on magnitudes <= ~9200
+# (error <= ~0.02) — any raster-offset, filter-reconstruction,
+# channel-order, or row-order defect shifts whole integers.
+def _image_decode_query(spark, sf_dir, fmt: str):
+    from pelinker_spark.multimodal import extract_media_features
+
+    docs = rd(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pelinker_spark.multimodal import encode_png, encode_ppm
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                h, w = 6 + did % 7, 5 + did % 6
+                r, c, ch = np.ogrid[0:h, 0:w, 0:3]
+                rgb = ((did * 7 + r * 13 + c * 5 + ch * 11) % 256).astype(
+                    np.uint8
+                )
+                if fmt == "ppm":
+                    payload = encode_ppm(rgb)
+                    mime = "image/x-portable-pixmap"
+                else:
+                    payload = encode_png(rgb, filters=(0, 1, 2, 3, 4))
+                    mime = "image/png"
+                rows.append(
+                    {"media_id": did, "payload": payload, "mime": mime}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary, mime string")
+    feats = extract_media_features(media)
+    hh = F.lit(6) + F.col("doc_id") % F.lit(7)
+    return (
+        feats.select(
+            F.col("media_id").alias("doc_id"),
+            F.posexplode("feature").alias("col_idx", "x"),
+        )
+        .select(
+            "doc_id",
+            F.col("col_idx").cast("int").alias("col_idx"),
+            F.round(F.col("x") * F.lit(765.0) * hh)
+            .cast("bigint")
+            .alias("pix_sum"),
+        )
+        .orderBy("doc_id", "col_idx")
+    )
+
+
+def q42_ppm_decode_features(spark, sf_dir):
+    return _image_decode_query(spark, sf_dir, "ppm")
+
+
+def q43_png_decode_features(spark, sf_dir):
+    return _image_decode_query(spark, sf_dir, "png")
+
+
+_SQL_IMAGE_DECODE = """
+WITH g AS (
+  SELECT doc_id, 6 + doc_id % 7 AS h, 5 + doc_id % 6 AS w FROM documents),
+rw AS (SELECT doc_id, w, unnest(range(0, h)) AS r FROM g),
+px AS (SELECT doc_id, r, unnest(range(0, w)) AS c FROM rw),
+chan AS (SELECT doc_id, r, c, unnest(range(0, 3)) AS ch FROM px)
+SELECT doc_id, CAST(c AS INT) AS col_idx,
+       CAST(SUM((doc_id*7 + r*13 + c*5 + ch*11) % 256) AS BIGINT) AS pix_sum
+FROM chan GROUP BY doc_id, c ORDER BY doc_id, col_idx
+"""
+
+SQL_Q42 = _SQL_IMAGE_DECODE
+SQL_Q43 = _SQL_IMAGE_DECODE
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1640,6 +1724,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_jw_pair_scores": q39_jw_pair_scores,
     "q40_incremental_cc": q40_incremental_cc,
     "q41_wav_decode_features": q41_wav_decode_features,
+    "q42_ppm_decode_features": q42_ppm_decode_features,
+    "q43_png_decode_features": q43_png_decode_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1684,4 +1770,6 @@ ORACLES: dict[str, str] = {
     "q39_jw_pair_scores": SQL_Q39,
     "q40_incremental_cc": SQL_Q40,
     "q41_wav_decode_features": SQL_Q41,
+    "q42_ppm_decode_features": SQL_Q42,
+    "q43_png_decode_features": SQL_Q43,
 }
