@@ -1632,6 +1632,28 @@ def _image_decode_query(spark, sf_dir, fmt: str):
                 if fmt == "ppm":
                     payload = encode_ppm(rgb)
                     mime = "image/x-portable-pixmap"
+                elif fmt == "bmp":
+                    # hand-rolled 24-bit BITMAPINFOHEADER BMP: bottom-up
+                    # rows padded to 4 bytes — exactly the layout quirks
+                    # (row inversion + padding) the decoder must undo;
+                    # grayscale averaging is channel-order invariant, so
+                    # BGR-vs-RGB needs no oracle-side distinction
+                    import struct as _struct
+
+                    pad = b"\x00" * ((-(w * 3)) % 4)
+                    raster = b"".join(
+                        rgb[r2].tobytes() + pad for r2 in range(h - 1, -1, -1)
+                    )
+                    payload = (
+                        b"BM"
+                        + _struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+                        + _struct.pack(
+                            "<IiiHHIIiiII",
+                            40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0,
+                        )
+                        + raster
+                    )
+                    mime = "image/bmp"
                 else:
                     payload = encode_png(rgb, filters=(0, 1, 2, 3, 4))
                     mime = "image/png"
@@ -1667,6 +1689,10 @@ def q43_png_decode_features(spark, sf_dir):
     return _image_decode_query(spark, sf_dir, "png")
 
 
+def q44_bmp_decode_features(spark, sf_dir):
+    return _image_decode_query(spark, sf_dir, "bmp")
+
+
 _SQL_IMAGE_DECODE = """
 WITH g AS (
   SELECT doc_id, 6 + doc_id % 7 AS h, 5 + doc_id % 6 AS w FROM documents),
@@ -1680,6 +1706,7 @@ FROM chan GROUP BY doc_id, c ORDER BY doc_id, col_idx
 
 SQL_Q42 = _SQL_IMAGE_DECODE
 SQL_Q43 = _SQL_IMAGE_DECODE
+SQL_Q44 = _SQL_IMAGE_DECODE
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1726,6 +1753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_wav_decode_features": q41_wav_decode_features,
     "q42_ppm_decode_features": q42_ppm_decode_features,
     "q43_png_decode_features": q43_png_decode_features,
+    "q44_bmp_decode_features": q44_bmp_decode_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1772,4 +1800,5 @@ ORACLES: dict[str, str] = {
     "q41_wav_decode_features": SQL_Q41,
     "q42_ppm_decode_features": SQL_Q42,
     "q43_png_decode_features": SQL_Q43,
+    "q44_bmp_decode_features": SQL_Q44,
 }
