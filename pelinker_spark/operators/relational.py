@@ -1693,6 +1693,65 @@ def q44_bmp_decode_features(spark, sf_dir):
     return _image_decode_query(spark, sf_dir, "bmp")
 
 
+# Video-container oracle: MJPEG-in-AVI payloads decode through the
+# production lane (RIFF walk → per-frame baseline JPEG → stride-2 frame
+# sampling → mean-pool). JPEG is lossy so pixel VALUES stay outside the
+# hash; what IS exact — and what this locks — is the container walk and
+# batch geometry: the sampled frame count ceil(n/2) and the feature
+# width W (one mean per pixel column). A mis-parsed chunk list, dropped
+# frame, or transposed decode dimension shifts an integer.
+def q45_avi_frame_counts(spark, sf_dir):
+    from pelinker_spark.multimodal import extract_media_features
+
+    docs = rd(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pelinker_spark.multimodal import encode_avi_mjpeg
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, w, h = 2 + did % 5, 8 * (1 + did % 3), 8
+                r, c, ch = np.ogrid[0:h, 0:w, 0:3]
+                frames = [
+                    ((did * 7 + f * 29 + r * 13 + c * 5 + ch * 11) % 256).astype(
+                        np.uint8
+                    )
+                    for f in range(n)
+                ]
+                rows.append(
+                    {
+                        "media_id": did,
+                        "payload": encode_avi_mjpeg(frames, fps=10),
+                        "mime": "video/x-msvideo",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "mime"])
+
+    media = docs.mapInPandas(build, "media_id long, payload binary, mime string")
+    feats = extract_media_features(media)  # default frame_stride=2
+    return (
+        feats.select(
+            F.col("media_id").alias("doc_id"),
+            F.col("n_frames").cast("int").alias("n_frames_sampled"),
+            F.size("feature").cast("int").alias("feat_width"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_Q45 = """
+SELECT doc_id,
+       CAST((2 + doc_id % 5 + 1) // 2 AS INT) AS n_frames_sampled,
+       CAST(8 * (1 + doc_id % 3) AS INT) AS feat_width
+FROM documents ORDER BY doc_id
+"""
+
+
 _SQL_IMAGE_DECODE = """
 WITH g AS (
   SELECT doc_id, 6 + doc_id % 7 AS h, 5 + doc_id % 6 AS w FROM documents),
@@ -1754,6 +1813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_ppm_decode_features": q42_ppm_decode_features,
     "q43_png_decode_features": q43_png_decode_features,
     "q44_bmp_decode_features": q44_bmp_decode_features,
+    "q45_avi_frame_counts": q45_avi_frame_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1801,4 +1861,5 @@ ORACLES: dict[str, str] = {
     "q42_ppm_decode_features": SQL_Q42,
     "q43_png_decode_features": SQL_Q43,
     "q44_bmp_decode_features": SQL_Q44,
+    "q45_avi_frame_counts": SQL_Q45,
 }
