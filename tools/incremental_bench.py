@@ -19,6 +19,28 @@ pruning receipt (VERDICT r3 #3): the scorer reads only bucket-state
 partitions whose pfx the batch touched, so scanned ~ blocking
 neighborhood, not total accumulated state.
 
+Per-batch `fs_old_shuffle_rows` vs `fs_new_shuffle_rows` is the
+first-seen shuffle receipt (VERDICT r4 #1): against the ACTUAL state
+tables the run left behind, each batch's key set is replayed through
+both formulations of the first-seen dedup —
+
+  old:  nk LEFT ANTI JOIN seen            (sort-merge; shuffles every
+                                           key EVER seen, O(history))
+  new:  already = seen ⋉ broadcast(nk)    (history scanned map-side,
+        nk ANTI broadcast(already)         never shuffled; O(batch))
+
+— and the stage-level shuffleWriteRecords delta around each (Spark REST
+API) is recorded, plus row-set parity between the two. The replay runs
+with spark.sql.autoBroadcastJoinThreshold=-1: at bench scale the whole
+history fits the 64 MB auto-broadcast threshold, so BOTH forms would
+plan broadcast and the receipt would show nothing — the regime the
+weak is about is accumulated history >> threshold (the 100-TB stream),
+where only EXPLICIT broadcast hints survive. The new formulation's
+broadcasts ARE explicit hints (streaming.py), so what's measured is
+exactly what production executes at scale; the old formulation reverts
+to its at-scale sort-merge plan. The criterion: new ~ batch size and
+flat across batches; old ~ accumulated history and growing.
+
 Usage: python tools/incremental_bench.py <cores> <n_pages> <n_drops> [K]
 (K = state_prefixes fanout; default LinkConfig's 64)
 """
@@ -38,6 +60,20 @@ def load1() -> float:
     return float(open("/proc/loadavg").read().split()[0])
 
 
+def shuffle_write_records(spark) -> int:
+    """Cumulative shuffleWriteRecords across all completed stages of this
+    app, via the local UI's REST API (the session is built with
+    spark.ui.enabled=true here for exactly this)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        stages = json.loads(r.read())
+    return sum(int(s.get("shuffleWriteRecords", 0) or 0) for s in stages)
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
@@ -54,7 +90,14 @@ def main() -> None:
     )
     from pelinker_spark.synth import web_pages
 
-    spark = get_spark(f"incbench_{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        f"incbench_{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        # UI on: the first-seen shuffle receipt reads stage-level
+        # shuffleWriteRecords from the REST API
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     tmp = tempfile.mkdtemp(prefix="pel_incbench_")
     pages_dir = f"{tmp}/pages"
     out = f"{tmp}/out"
@@ -130,6 +173,49 @@ def main() -> None:
             pb["scanned_rows"] = hist.where(F.col("pfx").isin(touched)).count()
             pb["history_rows"] = hist.count()
         buckets.unpersist()
+
+        # First-seen shuffle receipt (VERDICT r4 #1): replay each batch's
+        # key set through the OLD sort-merge anti-join and the NEW
+        # inverted broadcast probe against the run's real state tables,
+        # diffing cumulative shuffle-write records around each action.
+        mentions = spark.read.parquet(f"{out}/mentions")
+        band0 = (
+            spark.read.parquet(f"{out}/buckets")
+            .where(F.col("band") == 0)
+            .select("key", "batch_id")
+        )
+        abjt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for pb in per_batch:
+            b = pb["batch"]
+            if b == 0:
+                continue  # no history yet; production path skips the join
+            # exact reconstruction of the production probe's inputs:
+            # nk = this batch's distinct mention keys, seen = one row per
+            # key that entered the bucket state in any earlier batch
+            nk = (
+                mentions.where(F.col("batch_id") == b)
+                .select("key")
+                .dropDuplicates(["key"])
+                .persist()
+            )
+            pb["batch_keys"] = nk.count()  # materialize outside the diff
+            seen = band0.where(F.col("batch_id") < b).select("key")
+            s0 = shuffle_write_records(spark)
+            old_rows = nk.join(seen, "key", "left_anti")
+            old_n = old_rows.count()
+            s1 = shuffle_write_records(spark)
+            already = seen.join(F.broadcast(nk), "key", "left_semi")
+            new_rows = nk.join(F.broadcast(already), "key", "left_anti")
+            new_n = new_rows.count()
+            s2 = shuffle_write_records(spark)
+            assert old_n == new_n == pb["new_keys"], (
+                b, old_n, new_n, pb["new_keys"],
+            )
+            pb["fs_old_shuffle_rows"] = s1 - s0
+            pb["fs_new_shuffle_rows"] = s2 - s1
+            nk.unpersist()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abjt)
 
         lc = load1()
         t0 = time.monotonic()
