@@ -136,7 +136,17 @@ def main() -> None:
 
     th = threading.Thread(target=_sampler, daemon=True)
 
+    def _steal_sec() -> float:
+        """Cumulative hypervisor steal time (all CPUs, seconds). loadavg
+        only sees runnable tasks INSIDE this VM; on a shared hypervisor
+        the host can deprive the whole VM of cycles without any loadavg
+        signature. The per-run steal delta makes that pollution visible
+        in the receipt."""
+        parts = open("/proc/stat").readline().split()
+        return int(parts[8]) / float(_os.sysconf("SC_CLK_TCK"))
+
     load_before = open("/proc/loadavg").read().split()[0]
+    steal0 = _steal_sec()
     cpu0 = _tree_cpu_sec()
     th.start()
     t0 = time.monotonic()
@@ -144,6 +154,7 @@ def main() -> None:
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     link_sec = time.monotonic() - t0
     cpu1 = _tree_cpu_sec()
+    steal1 = _steal_sec()
     stop.set()
     th.join(timeout=1)
     load_after = open("/proc/loadavg").read().split()[0]
@@ -163,6 +174,7 @@ def main() -> None:
                 "load_mid_max": round(srt[-1], 2),
                 "engine_cpu_sec": round(cpu1 - cpu0, 1),
                 "cpu_utilization": round((cpu1 - cpu0) / (link_sec * cores), 3),
+                "steal_sec": round(steal1 - steal0, 1),
                 "cpus_pinned": sorted(_os.sched_getaffinity(0))
                 == list(range(cores)),
                 "sized_jvm": sized,
