@@ -1768,6 +1768,270 @@ SQL_Q43 = _SQL_IMAGE_DECODE
 SQL_Q44 = _SQL_IMAGE_DECODE
 
 
+# M11, oracle-checked: the pairwise-F1 evaluation metric ITSELF
+# (metrics.pairwise_prf — the north rule's F1 >= 0.99 bar is measured by
+# this function; ref compute metrics analysis.py:756-796) under the
+# value-hash gate. Blocked regime (pairs counted only within a shared
+# blocking key), contingency counting — every sum is a sum of exact
+# integer-valued doubles (order-independent), every ratio a single IEEE
+# division of the same operands in both engines.
+def q46_pairwise_prf(spark, sf_dir):
+    from pelinker_spark.metrics import pairwise_prf
+
+    ev = rd(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.col("event_type").alias("pred"),
+        (F.col("user_id") % 5).alias("gold"),
+        (F.col("event_id") % 3).alias("blk"),
+    )
+    m = pairwise_prf(labeled, pred_col="pred", gold_col="gold", block_col="blk")
+    return spark.createDataFrame(
+        [
+            (
+                m["precision"],
+                m["recall"],
+                m["f1"],
+                m["tp_pairs"],
+                m["pred_pairs"],
+                m["gold_pairs"],
+            )
+        ],
+        "precision double, recall double, f1 double, "
+        "tp_pairs double, pred_pairs double, gold_pairs double",
+    )
+
+
+SQL_Q46 = """
+WITH labeled AS (
+  SELECT event_type AS pred, user_id % 5 AS gold, event_id % 3 AS blk
+  FROM events),
+cell AS (SELECT blk, pred, gold, COUNT(*) AS n FROM labeled GROUP BY 1, 2, 3),
+tp AS (SELECT SUM(n * (n - 1) / 2) AS v FROM cell),
+ps AS (SELECT SUM(n * (n - 1) / 2) AS v FROM
+  (SELECT blk, pred, SUM(n) AS n FROM cell GROUP BY 1, 2)),
+gs AS (SELECT SUM(n * (n - 1) / 2) AS v FROM
+  (SELECT blk, gold, SUM(n) AS n FROM cell GROUP BY 1, 2))
+SELECT tp.v / ps.v AS "precision", tp.v / gs.v AS recall,
+  2 * (tp.v / ps.v) * (tp.v / gs.v) / (tp.v / ps.v + tp.v / gs.v) AS f1,
+  tp.v AS tp_pairs, ps.v AS pred_pairs, gs.v AS gold_pairs
+FROM tp, ps, gs
+"""
+
+
+# M11+, oracle-checked: distributed adjusted Rand index
+# (metrics.adjusted_rand_index; ref compute_adjusted_rand_index
+# analysis.py:162-185). Same contingency discipline as q46; the ARI
+# formula is mirrored subexpression-for-subexpression so both engines
+# evaluate the identical IEEE operation tree.
+def q47_adjusted_rand(spark, sf_dir):
+    from pelinker_spark.metrics import adjusted_rand_index
+
+    ev = rd(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.col("event_type").alias("pred"),
+        (F.col("user_id") % 7).alias("gold"),
+    )
+    ari = adjusted_rand_index(labeled, pred_col="pred", gold_col="gold")
+    return spark.createDataFrame([(ari,)], "ari double")
+
+
+SQL_Q47 = """
+WITH cell AS (
+  SELECT event_type AS pred, user_id % 7 AS gold, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (SELECT SUM(n * (n - 1) / 2) AS tp, SUM(n) AS n_total FROM cell),
+a AS (SELECT SUM(n * (n - 1) / 2) AS v FROM
+  (SELECT pred, SUM(n) AS n FROM cell GROUP BY 1)),
+b AS (SELECT SUM(n * (n - 1) / 2) AS v FROM
+  (SELECT gold, SUM(n) AS n FROM cell GROUP BY 1))
+SELECT (s.tp - a.v * b.v / (s.n_total * (s.n_total - 1) / 2.0))
+     / ((a.v + b.v) / 2.0 - a.v * b.v / (s.n_total * (s.n_total - 1) / 2.0))
+     AS ari
+FROM s, a, b
+"""
+
+
+# W3/J5, oracle-checked: interval-overlap mention dedup
+# (report.dedupe_overlapping_mentions — per-document union-find over the
+# overlap graph inside applyInPandas; ref
+# _dedupe_overlapping_prediction_rows model.py:1138-1208) vs a DuckDB
+# recursive-CTE closure over the same overlap edges. The library's
+# overlap_component is the positional min-index of the component under
+# the per-doc (a_abs, b_abs) sort; rows tied on (a_abs, b_abs) are
+# identical intervals, hence the same component, so the index SET per
+# component — and with it every row's min-index label — is
+# order-independent, which is what makes the positional id
+# oracle-expressible (ROW_NUMBER with a mention tiebreak picks one valid
+# assignment of the same sets).
+def q48_overlap_dedup(spark, sf_dir):
+    from pelinker_spark.report import dedupe_overlapping_mentions
+
+    ev = rd(spark, sf_dir, "events").where(F.col("event_id") % 16 == 0)
+    m = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 40).cast("string")).alias("url"),
+        F.lit(0).alias("itext"),
+        (F.col("event_id") % 211).cast("long").alias("a_abs"),
+        ((F.col("event_id") % 211) + 2 + (F.col("event_id") % 5))
+        .cast("long")
+        .alias("b_abs"),
+        F.concat(F.lit("m"), F.col("event_id").cast("string")).alias("mention"),
+    )
+    out = dedupe_overlapping_mentions(m)
+    return out.select(
+        "url", "a_abs", "b_abs", "mention", "overlap_component", "is_best"
+    )
+
+
+SQL_Q48 = """
+WITH RECURSIVE m AS (
+  SELECT 'u' || CAST(user_id % 40 AS VARCHAR) AS url,
+         CAST(event_id % 211 AS BIGINT) AS a_abs,
+         CAST(event_id % 211 + 2 + event_id % 5 AS BIGINT) AS b_abs,
+         'm' || CAST(event_id AS VARCHAR) AS mention
+  FROM events WHERE event_id % 16 = 0),
+idx AS (
+  SELECT url, a_abs, b_abs, mention,
+    ROW_NUMBER() OVER (PARTITION BY url ORDER BY a_abs, b_abs, mention) - 1 AS i
+  FROM m),
+edges AS (
+  SELECT x.url AS url, x.i AS a, y.i AS b FROM idx x JOIN idx y
+  ON x.url = y.url AND x.i <> y.i
+   AND x.a_abs < y.b_abs AND y.a_abs < x.b_abs),
+reach(url, n, mm) AS (
+  SELECT url, i, i FROM idx
+  UNION
+  SELECT r.url, r.n, e.b FROM reach r JOIN edges e
+    ON r.url = e.url AND r.mm = e.a),
+comp AS (SELECT url, n, MIN(mm) AS c FROM reach GROUP BY 1, 2),
+lab AS (
+  SELECT idx.url, idx.a_abs, idx.b_abs, idx.mention, comp.c AS overlap_component
+  FROM idx JOIN comp ON idx.url = comp.url AND idx.i = comp.n),
+best AS (
+  SELECT url, overlap_component, mention AS best_mention FROM (
+    SELECT url, overlap_component, mention,
+      ROW_NUMBER() OVER (PARTITION BY url, overlap_component
+        ORDER BY b_abs - a_abs, mention) AS rn
+    FROM lab) t WHERE rn = 1)
+SELECT l.url, l.a_abs, l.b_abs, l.mention, l.overlap_component,
+       (b.best_mention IS NOT NULL) AS is_best
+FROM lab l LEFT JOIN best b
+  ON l.url = b.url AND l.overlap_component = b.overlap_component
+ AND l.mention = b.best_mention
+"""
+
+
+# F11, oracle-checked: min-max [0,1] normalization over finite values
+# (sinks.minmax_normalize; ref clustering_grid.py:138-150) — the library
+# function itself, not a re-expression: global finite min/max broadcast
+# back, constant columns -> 1.0, non-finite -> null.
+def q49_minmax_normalize(spark, sf_dir):
+    from pelinker_spark.sinks import minmax_normalize
+
+    ev = rd(spark, sf_dir, "events").select("event_id", "value")
+    return minmax_normalize(ev, "value")
+
+
+SQL_Q49 = """
+WITH stats AS (
+  SELECT MIN(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS lo,
+         MAX(CASE WHEN value IS NOT NULL AND NOT isnan(value) THEN value END) AS hi
+  FROM events)
+SELECT event_id, value,
+  CASE WHEN value IS NULL OR isnan(value) THEN NULL
+       WHEN hi - lo <= 1e-12 THEN 1.0
+       ELSE (value - lo) / (hi - lo) END AS value_minmax
+FROM events, stats
+"""
+
+
+# W2, oracle-checked: consensus cluster labels
+# (report.cluster_composition -> report.consensus_labels; ref
+# cluster_derived_labels_map linker_cluster_training.py:151-196): top-3
+# entity labels per cluster with frac_of_cluster >= 0.1, ranked by
+# (-fraction, label). The collect_list order is nondeterministic, so the
+# query explodes the structs back to flat rows and lets the rank FIELD
+# (not list position) carry the ordering — set-equal under the hash.
+def q50_consensus_labels(spark, sf_dir):
+    from pelinker_spark.report import cluster_composition, consensus_labels
+
+    ev = rd(spark, sf_dir, "events")
+    labeled = ev.select(
+        (F.col("user_id") % 25).alias("cluster_id"),
+        F.col("event_type").alias("key"),
+    )
+    comp = cluster_composition(labeled)
+    cons = consensus_labels(comp, top_n=3, min_fraction=0.1)
+    return cons.select("cluster_id", F.explode("top_labels").alias("tl")).select(
+        "cluster_id",
+        F.col("tl.rank").alias("rank"),
+        F.col("tl.key").alias("key"),
+        F.col("tl.frac_of_cluster").alias("frac_of_cluster"),
+    )
+
+
+SQL_Q50 = """
+WITH base AS (
+  SELECT user_id % 25 AS cluster_id, event_type AS key,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2),
+compo AS (
+  SELECT cluster_id, key, n,
+    n / SUM(n) OVER (PARTITION BY cluster_id) AS frac_of_cluster
+  FROM base)
+SELECT cluster_id, rank, key, frac_of_cluster FROM (
+  SELECT cluster_id, key, frac_of_cluster,
+    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      ORDER BY frac_of_cluster DESC, key) AS rank
+  FROM compo WHERE frac_of_cluster >= 0.1) t
+WHERE rank <= 3
+"""
+
+
+# M4-adjacent sampling primitive, oracle-checked: hash-fraction sampling
+# (sampling.hash_fraction_sample; the library function — md5-keyed, so
+# partition-independent AND oracle-portable; ref seeded df.sample
+# analogs, pelinker/sampling.py:28-98). fraction=0.07 ->
+# int(0.07 * 0xFFFF) = 4587, pinned in both engines.
+def q51_hash_fraction_sample(spark, sf_dir):
+    from pelinker_spark.sampling import hash_fraction_sample
+
+    li = rd(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return hash_fraction_sample(li, ["l_orderkey", "l_linenumber"], 0.07)
+
+
+SQL_Q51 = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE CAST(('0x' || substr(md5('s0-' || CAST(l_orderkey AS VARCHAR)
+       || '-' || CAST(l_linenumber AS VARCHAR)), 1, 4))::INT AS BIGINT) < 4587
+"""
+
+
+# F6, oracle-checked: the fuzzy stem+gap KB label matcher
+# (kb.fuzzy_match_col / fuzzy_label_pattern; ref match_pattern
+# pelinker/matching.py:4-23) as a boolean column — 'customer' (> 5
+# chars) exercises the stem rule (last char dropped + \\w*), the
+# bounded \\s+[\\w\\s-]{0,9} gap joins the words. The pattern is pure
+# ASCII regex whose language is identical under Java regex (Spark
+# rlike) and RE2 (DuckDB regexp_matches).
+def q52_fuzzy_match(spark, sf_dir):
+    from pelinker_spark.kb import fuzzy_match_col
+
+    d = rd(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fuzzy_match_col(F.col("text"), "customer join").alias("fuzzy_hit")
+    )
+
+
+SQL_Q52 = r"""
+SELECT doc_id,
+  regexp_matches(lower(text),
+    '\bcustome\w*\s+[\w\s-]{0,9}\bjoin\w*\b') AS fuzzy_hit
+FROM documents
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -1814,6 +2078,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_png_decode_features": q43_png_decode_features,
     "q44_bmp_decode_features": q44_bmp_decode_features,
     "q45_avi_frame_counts": q45_avi_frame_counts,
+    "q46_pairwise_prf": q46_pairwise_prf,
+    "q47_adjusted_rand": q47_adjusted_rand,
+    "q48_overlap_dedup": q48_overlap_dedup,
+    "q49_minmax_normalize": q49_minmax_normalize,
+    "q50_consensus_labels": q50_consensus_labels,
+    "q51_hash_fraction_sample": q51_hash_fraction_sample,
+    "q52_fuzzy_match": q52_fuzzy_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -1862,4 +2133,11 @@ ORACLES: dict[str, str] = {
     "q43_png_decode_features": SQL_Q43,
     "q44_bmp_decode_features": SQL_Q44,
     "q45_avi_frame_counts": SQL_Q45,
+    "q46_pairwise_prf": SQL_Q46,
+    "q47_adjusted_rand": SQL_Q47,
+    "q48_overlap_dedup": SQL_Q48,
+    "q49_minmax_normalize": SQL_Q49,
+    "q50_consensus_labels": SQL_Q50,
+    "q51_hash_fraction_sample": SQL_Q51,
+    "q52_fuzzy_match": SQL_Q52,
 }
