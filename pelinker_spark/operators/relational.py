@@ -2032,6 +2032,108 @@ FROM documents
 """
 
 
+# W4/F1/F4/F5, oracle-checked: the MENTION GENERATOR itself
+# (mentions.generate_mentions — stage 1 of the pipeline: ws-normalize,
+# sentence split, sliding 1/2/3-word windows with exact half-open char
+# spans, keep-predicate, blocking keys; ref pelinker/onto.py:146-156 +
+# util.py:801-822). The corpus has no sentence punctuation, so the query
+# injects deterministic boundaries (' table ' -> '. ') in BOTH engines —
+# exercising the sentence splitter and the edge-strip normalization
+# ("x." -> "x") on real windows. The oracle emulates Spark's
+# (?<=[.!?])\s+ lookbehind split (RE2 has no lookbehind) by substituting
+# a separator char at '. ' — exact, because after ws-normalization every
+# boundary is literally '. '. Spans: a = running sum of len(tok)+1
+# (window sum == the library's _starts aggregate, exact integers);
+# b_w = a + len(t1) (+1+len(t2)) (+1+len(t3)); a_abs/b_abs add the
+# sentence's doc-global offset.
+def q53_mention_generation(spark, sf_dir):
+    from pelinker_spark.mentions import generate_mentions
+
+    d = rd(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("url"),
+        F.replace(F.col("text"), F.lit(" table "), F.lit(". ")).alias("text"),
+        "lang",
+    )
+    return generate_mentions(pages, windows=(1, 2, 3), lang="en")
+
+
+_SQL_STOPLIST = (
+    "'a','an','and','are','as','at','be','by','for','from','has','have',"
+    "'in','is','it','of','on','or','the','to','was','with'"
+)
+
+SQL_Q53 = r"""
+WITH pages AS (
+  SELECT 'd' || CAST(doc_id AS VARCHAR) AS url,
+         replace(text, ' table ', '. ') AS text
+  FROM documents WHERE lang = 'en'),
+normed AS (
+  SELECT url, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM pages),
+sent_raw AS (
+  SELECT url, string_split(replace(t, '. ', '.' || chr(30)), chr(30)) AS sents
+  FROM normed),
+sent_idx AS (
+  SELECT url, unnest(sents) AS sent,
+         unnest(range(1, len(sents) + 1)) AS sno
+  FROM sent_raw),
+sent_f AS (
+  SELECT url, sent,
+    ROW_NUMBER() OVER (PARTITION BY url ORDER BY sno) - 1 AS ichunk,
+    COALESCE(SUM(LENGTH(sent) + 1) OVER (PARTITION BY url ORDER BY sno
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent_off
+  FROM sent_idx WHERE trim(sent) <> ''),
+tok_idx AS (
+  SELECT url, ichunk, sent_off,
+         unnest(string_split(sent, ' ')) AS tok,
+         unnest(range(1, len(string_split(sent, ' ')) + 1)) AS ti
+  FROM sent_f),
+tok_off AS (
+  SELECT url, ichunk, sent_off, tok, ti,
+    COALESCE(SUM(LENGTH(tok) + 1) OVER (PARTITION BY url, ichunk ORDER BY ti
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+  FROM tok_idx),
+tok_n AS (
+  SELECT url, ichunk, sent_off, tok, ti, a,
+    CASE WHEN LENGTH(tt) > 3 AND tt LIKE '%s' AND tt NOT LIKE '%ss'
+         THEN substr(tt, 1, LENGTH(tt) - 1) ELSE tt END AS ntok
+  FROM (SELECT *,
+          regexp_replace(lower(tok), '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS tt
+        FROM tok_off) z),
+ext AS (
+  SELECT url, ichunk, sent_off, a, ti, tok AS t1, ntok AS n1,
+    LEAD(tok, 1) OVER w AS t2, LEAD(ntok, 1) OVER w AS n2,
+    LEAD(tok, 2) OVER w AS t3, LEAD(ntok, 2) OVER w AS n3
+  FROM tok_n
+  WINDOW w AS (PARTITION BY url, ichunk ORDER BY ti)),
+wins AS (
+  SELECT url, ichunk, sent_off, 1 AS wg, t1 AS mention, n1 AS key,
+         a, a + LENGTH(t1) AS b
+  FROM ext
+  WHERE n1 <> '' AND NOT (n1 IN (__STOPLIST__))
+  UNION ALL
+  SELECT url, ichunk, sent_off, 2, t1 || ' ' || t2, n1 || ' ' || n2,
+         a, a + LENGTH(t1) + 1 + LENGTH(t2)
+  FROM ext
+  WHERE t2 IS NOT NULL AND n1 <> '' AND n2 <> ''
+    AND NOT (n1 IN (__STOPLIST__) AND n2 IN (__STOPLIST__))
+  UNION ALL
+  SELECT url, ichunk, sent_off, 3, t1 || ' ' || t2 || ' ' || t3,
+         n1 || ' ' || n2 || ' ' || n3,
+         a, a + LENGTH(t1) + 1 + LENGTH(t2) + 1 + LENGTH(t3)
+  FROM ext
+  WHERE t3 IS NOT NULL AND n1 <> '' AND n2 <> '' AND n3 <> ''
+    AND NOT (n1 IN (__STOPLIST__) AND n2 IN (__STOPLIST__)
+             AND n3 IN (__STOPLIST__)))
+SELECT url, CAST(0 AS BIGINT) AS itext, CAST(ichunk AS BIGINT) AS ichunk,
+       CAST(wg AS INT) AS wg, mention, key,
+       CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(sent_off + a AS BIGINT) AS a_abs,
+       CAST(sent_off + b AS BIGINT) AS b_abs
+FROM wins
+""".replace("__STOPLIST__", _SQL_STOPLIST)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2085,6 +2187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_consensus_labels": q50_consensus_labels,
     "q51_hash_fraction_sample": q51_hash_fraction_sample,
     "q52_fuzzy_match": q52_fuzzy_match,
+    "q53_mention_generation": q53_mention_generation,
 }
 
 ORACLES: dict[str, str] = {
@@ -2140,4 +2243,5 @@ ORACLES: dict[str, str] = {
     "q50_consensus_labels": SQL_Q50,
     "q51_hash_fraction_sample": SQL_Q51,
     "q52_fuzzy_match": SQL_Q52,
+    "q53_mention_generation": SQL_Q53,
 }
