@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2134,6 +2135,170 @@ FROM wins
 """.replace("__STOPLIST__", _SQL_STOPLIST)
 
 
+# S2/M3 stage 0, oracle-checked: the HTML render + byte-identical text
+# extraction round trip — the per-row invariant named verbatim in
+# BASELINE.json input_hint ("byte-identical extracted text per url";
+# ref chunk round-trip contract pelinker/util.py:528-585). The Spark
+# side runs the REAL library path: synth.render_html (escape & wrap)
+# inside an Arrow-batched pandas UDF, then extract.extract_text_py
+# (block-drop, body regex, tag strip, entity unescape, strip). The
+# corpus text is markup-free, so both engines first inject deterministic
+# markup ('value' -> '<v> & "q" </v>') to make the escape/unescape legs
+# non-trivial. The oracle re-derives the exact rendered bytes from
+# scratch in SQL (the same &amp;/&lt;/&gt; replace chain html.escape
+# performs, the same literal wrapper) and pins md5 + byte length of the
+# html plus the extracted text; any drift in either renderer or
+# extractor breaks the value hash.
+def q54_extract_roundtrip(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from pelinker_spark.extract import extract_text_py
+    from pelinker_spark.synth import render_html
+
+    d = rd(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.replace(
+            F.col("text"), F.lit("value"), F.lit('<v> & "q" </v>')
+        ).alias("text2"),
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def render_udf(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                render_html(f"https://example.org/doc/{i}", t)
+                for i, t in zip(doc_id, text)
+            ]
+        )
+
+    @F.pandas_udf(T.StringType())
+    def extract_udf(html: pd.Series) -> pd.Series:
+        return html.map(extract_text_py)
+
+    pages = docs.select(
+        "doc_id", "text2", render_udf("doc_id", "text2").alias("html")
+    )
+    return pages.select(
+        "doc_id",
+        F.length("html").cast("long").alias("html_len"),
+        F.md5("html").alias("html_md5"),
+        extract_udf("html").alias("extracted"),
+        (extract_udf("html") == F.col("text2")).alias("roundtrip"),
+    )
+
+
+SQL_Q54 = r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         replace(text, 'value', '<v> & "q" </v>') AS text2
+  FROM documents),
+esc AS (
+  SELECT doc_id, text2,
+    replace(replace(replace(text2, '&', '&amp;'),
+                    '<', '&lt;'), '>', '&gt;') AS body
+  FROM d),
+page AS (
+  SELECT doc_id, text2,
+    '<!DOCTYPE html><html><head><meta charset="utf-8">'
+    || '<link rel="canonical" href="https://example.org/doc/'
+    || CAST(doc_id AS VARCHAR)
+    || '"><title>synthetic page</title></head><body><article><p>'
+    || body || '</p></article></body></html>' AS html
+  FROM esc)
+SELECT doc_id,
+  CAST(octet_length(encode(html)) AS BIGINT) AS html_len,
+  md5(html) AS html_md5,
+  text2 AS extracted,
+  TRUE AS roundtrip
+FROM page
+"""
+
+
+# F2, oracle-checked: the greedy char-budget chunk split
+# (chunking.split_char_budget — the reference's split_text_into_batches,
+# pelinker/util.py:505-525: prefer the last space inside the budget,
+# hard-cut only when a window is spaceless; concat(chunks) == text
+# byte-for-byte). Spark runs the library's F.aggregate step machine;
+# the oracle re-derives the identical greedy split with a DuckDB
+# recursive CTE cutting one chunk per iteration — same last-space
+# regex, same cut rule, same substr arithmetic.
+def q55_char_budget_chunks(spark, sf_dir):
+    from pelinker_spark.chunking import split_char_budget
+
+    d = rd(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(split_char_budget(F.col("text"), 48)).alias(
+            "ichunk", "chunk"
+        ),
+    ).select(
+        "doc_id", F.col("ichunk").cast("long").alias("ichunk"), "chunk"
+    )
+
+
+SQL_Q55 = r"""
+WITH RECURSIVE s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text AS rest,
+         CAST(0 AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS chunk
+  FROM documents
+  UNION ALL
+  SELECT doc_id, substr(rest, cut + 1) AS rest, i + 1,
+         substr(rest, 1, cut) AS chunk
+  FROM (
+    SELECT doc_id, rest, i,
+      CASE WHEN length(rest) <= 48 THEN length(rest)
+           WHEN ls > 0 THEN ls
+           ELSE 48 END AS cut
+    FROM (
+      SELECT doc_id, rest, i,
+        length(regexp_extract(substr(rest, 1, 48),
+                              '^(.*[ ])[^ ]*$', 1)) AS ls
+      FROM s WHERE length(rest) > 0)))
+SELECT doc_id, i - 1 AS ichunk, chunk
+FROM s WHERE chunk IS NOT NULL
+"""
+
+
+# F3, oracle-checked: the token-budget chunk split
+# (chunking.split_token_budget — ref util.py:528-585): <=16 whitespace
+# tokens per chunk, separators kept with the preceding chunk so
+# concat(chunks) == text exactly. Spark runs the library's
+# split-with-lookahead + slice/array_join plan; the oracle re-derives
+# each chunk by 1-based list slicing over the token array, re-attaching
+# the single-space separator to every non-final chunk (the corpus is
+# single-space tokenized, so the lookahead pieces are exactly
+# token+space) — byte identity of every chunk is what the hash pins.
+def q56_token_budget_chunks(spark, sf_dir):
+    from pelinker_spark.chunking import split_token_budget
+
+    d = rd(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(split_token_budget(F.col("text"), 16)).alias(
+            "ichunk", "chunk"
+        ),
+    ).select(
+        "doc_id", F.col("ichunk").cast("long").alias("ichunk"), "chunk"
+    )
+
+
+SQL_Q56 = r"""
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS toks
+  FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 16.0) AS BIGINT))) AS j
+  FROM t)
+SELECT doc_id, CAST(j AS BIGINT) AS ichunk,
+  array_to_string(list_slice(toks, j * 16 + 1, (j + 1) * 16), ' ')
+  || CASE WHEN (j + 1) * 16 < len(toks) THEN ' ' ELSE '' END AS chunk
+FROM idx
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_topk": q02_revenue_topk,
@@ -2188,6 +2353,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_hash_fraction_sample": q51_hash_fraction_sample,
     "q52_fuzzy_match": q52_fuzzy_match,
     "q53_mention_generation": q53_mention_generation,
+    "q54_extract_roundtrip": q54_extract_roundtrip,
+    "q55_char_budget_chunks": q55_char_budget_chunks,
+    "q56_token_budget_chunks": q56_token_budget_chunks,
 }
 
 ORACLES: dict[str, str] = {
@@ -2244,4 +2412,7 @@ ORACLES: dict[str, str] = {
     "q51_hash_fraction_sample": SQL_Q51,
     "q52_fuzzy_match": SQL_Q52,
     "q53_mention_generation": SQL_Q53,
+    "q54_extract_roundtrip": SQL_Q54,
+    "q55_char_budget_chunks": SQL_Q55,
+    "q56_token_budget_chunks": SQL_Q56,
 }
