@@ -60,3 +60,29 @@ def test_web_pages_spark_roundtrip(spark):
         .collect()[0][0]
     )
     assert h1 == h2
+
+
+def test_extract_roundtrip_property():
+    """The input_hint invariant over the FULL text space, not just the
+    synth corpus: for any unicode text, extract(render(text)) recovers
+    text.strip() byte-for-byte — including text containing raw markup
+    ('<p>', '&amp;', '</body>'), which render escapes and extract must
+    invert exactly (entity legs), and control/astral characters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=400))
+    def prop(t):
+        assert extract_text_py(render_html("https://e.org/x", t)) == t.strip()
+
+    prop()
+    # targeted adversarial cases beyond what st.text tends to generate
+    for t in [
+        "<script>alert(1)</script>",
+        "</body></html><body>",
+        "a &amp; b &lt;c&gt; &notanentity; &#65;",
+        "  \t\n leading and trailing \r\n ",
+        "nested <p><p></p></p> tags & '\"quotes\"'",
+    ]:
+        assert extract_text_py(render_html("https://e.org/x", t)) == t.strip()
