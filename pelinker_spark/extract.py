@@ -43,9 +43,18 @@ def extract_text_py(html_bytes: bytes) -> str:
 
 
 @F.pandas_udf(T.StringType())
-def extract_text_udf(html_col: pd.Series) -> pd.Series:
+def _extract_text_udf_det(html_col: pd.Series) -> pd.Series:
     """Arrow-batched extraction (Series[bytes] → Series[str])."""
     return html_col.map(extract_text_py)
+
+
+# Marked non-deterministic (round 6): extract_stage filters on the UDF's
+# output (non-empty text), and filter pushdown duplicates a deterministic
+# UDF into two ArrowEvalPython nodes — every page was parsed twice
+# (verified in the link-pipeline mentions plan). The function is pure, so
+# results are unchanged; callers that filter on upstream columns (lang)
+# must now filter *before* this projection — link_pipeline does.
+extract_text_udf = _extract_text_udf_det.asNondeterministic()
 
 
 def extract_text(html_col: Column) -> Column:

@@ -36,6 +36,28 @@ def rd(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive scan spread (round 6; guide §2 'make partitioning
+    scale-adaptive, derive from input size').
+
+    The driver's testdata tables are single-row-group parquet files, and a
+    parquet row group is the atomic split unit — so every scan plans as ONE
+    task and all map-side work (filters, decimal partial aggregation,
+    explodes, pair generation under a broadcast join, Python scoring) ran
+    on one core of local[N] (measured: the q39 JW stage ran its entire
+    400k-pair scoring in a single task). When the scan cannot reach the
+    session's parallelism, redistribute by a high-cardinality key; at
+    production scale (splits >> cores) this is a no-op, so it is not a
+    local-mode constant. Hash repartitioning on the table key avoids
+    round-robin's sort-before-repartition pass and is deterministic under
+    retries (guide §2.5). Row membership is unchanged — results are
+    byte-identical, which the oracle gate checks."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p, *[F.col(c) for c in key_cols])
+    return df
+
+
 def _dsum(col, scale: int = 2, dec: str = DEC):
     """Exact decimal sum of rounded addends, surfaced as double."""
     return F.sum(F.round(col, scale).cast(dec)).cast("double")
@@ -506,33 +528,49 @@ def q18_cosine_topk(spark, sf_dir):
     em = rd(spark, sf_dir, "embeddings")
     # quantize components to integer micro-units: integer dot products are
     # exact and order-independent; the final division of identical integers
-    # is bit-identical in every engine (rounding *products* is not)
-    lf = em.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos", "v"),
-    ).select("vec_id", "pos", F.round(F.col("v") * 1000000.0).cast("long").alias("iv"))
-    q = lf.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("iv").alias("qv")
+    # is bit-identical in every engine (rounding *products* is not).
+    #
+    # Round-6 shape: the dot products are computed ARRAY-side (zip_with +
+    # aggregate over the quantized vectors, both whole-stage-codegen'd)
+    # on a broadcast nested-loop join of the 10 query vectors against the
+    # corpus — |corpus|x|queries| narrow rows — instead of the old
+    # posexplode → join-on-pos → groupBy(qid,cid) → two norm re-joins
+    # plan, which shuffled |corpus|·dim exploded rows and then
+    # |corpus|·|queries|·dim product rows through 4 exchanges. Every
+    # arithmetic step (long multiply/add, cast to double, sqrt, divide)
+    # is the same operation on the same operands, so the values are
+    # bit-identical (oracle-checked); only the plan changed. One exchange
+    # remains: the per-query top-k window.
+    ivec = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v * F.lit(1000000.0)).cast("long"),
     )
-    c = lf.select(F.col("vec_id").alias("cid"), "pos", F.col("iv").alias("cv"))
-    dot = (
-        q.join(c, "pos")
-        .groupBy("qid", "cid")
-        .agg(F.sum(F.col("qv") * F.col("cv")).cast("double").alias("dot"))
+    zero = F.lit(0).cast("long")
+    iv = em.select("vec_id", ivec.alias("iv"))
+    q = iv.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("iv").alias("qv")
     )
-    nrm = lf.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("iv") * F.col("iv")).cast("double")).alias("nrm")
-    )
-    nq = nrm.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qn"))
-    nc = nrm.select(F.col("vec_id").alias("cid"), F.col("nrm").alias("cn"))
+    c = iv.select(F.col("vec_id").alias("cid"), F.col("iv").alias("cv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        zero,
+        lambda acc, v: acc + v,
+    ).cast("double")
+
+    def _nrm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x * x), zero, lambda acc, v: acc + v
+            ).cast("double")
+        )
+
     sim = (
-        dot.join(nq, "qid")
-        .join(nc, "cid")
+        c.crossJoin(F.broadcast(q))
         .where(F.col("qid") != F.col("cid"))
         .select(
             "qid",
             "cid",
-            (F.col("dot") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            (dot / (_nrm(F.col("qv")) * _nrm(F.col("cv")))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
@@ -1405,8 +1443,14 @@ def q39_jw_pair_scores(spark, sf_dir):
         F.lower(F.substring("text", 1, 24)).alias("surf"),
         F.lower(F.substring("text", 1, 4)).alias("blk"),
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("surf").alias("surf_a"),
-                 "blk")
+    # the blocked self-join multiplies the PROBE side ~80x and the JW UDF
+    # runs on the result — with the testdata's single-row-group layout the
+    # entire pair scoring ran in ONE task on one core (round 6). Spread
+    # only the probe side; the broadcast build side stays on the raw scan
+    # (building a broadcast needs no exchange).
+    a = spread(d, "doc_id").select(
+        F.col("doc_id").alias("doc_a"), F.col("surf").alias("surf_a"), "blk"
+    )
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("surf").alias("surf_b"),
                  "blk")
     return (

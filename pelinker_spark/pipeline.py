@@ -227,6 +227,13 @@ def score_pairs(pairs: DataFrame, cfg: LinkConfig,
         ]
         emb = fuse_entity_vectors(frames, entity_col="key", embed_col="emb")
         k_sources = len(variants)
+    # emb feeds BOTH pair-side joins below; without a persist the two join
+    # builds are distinct physical subtrees (the column renames defeat
+    # exchange reuse) and the encoder ran TWICE over the full distinct-key
+    # set (two ArrowEvalPython nodes in the round-6 'before' edges plan).
+    emb = emb.persist()
+    if registry is not None:
+        registry.append(emb)
     return (
         jw_pass.join(
             emb.withColumnRenamed("key", "key_a").withColumnRenamed("emb", "emb_a"),
@@ -305,7 +312,15 @@ def link_pipeline(
             df = df.persist(storage) if storage is not None else df.persist()
         return df
 
-    docs = stage("extract", lambda: extract_stage(pages))
+    # language pruning BEFORE extraction: generate_mentions repeats this
+    # filter (harmlessly), but with the extract UDF now non-deterministic
+    # (single-evaluation pin, extract.py) the optimizer will no longer
+    # push a later lang filter below the extraction projection itself —
+    # so prune here and never parse out-of-language HTML at all.
+    src = pages
+    if cfg.lang is not None and "lang" in pages.columns:
+        src = pages.where(F.col("lang") == cfg.lang)
+    docs = stage("extract", lambda: extract_stage(src))
     # the mention table is the largest intermediate (|mentions| ~ 100x
     # |pages|); cache it SERIALIZED so holding it through the pair/score
     # stages doesn't evict their execution memory (measured: deserialized

@@ -50,30 +50,49 @@ def _features(s: str) -> set[str]:
     return grams
 
 
+# Worker-lifetime caches (guide §4.5: heavyweight state once per task, and
+# via spark.python.worker.reuse once per *worker process*): feature vectors
+# and encoded strings are pure functions of (salt, string), so sharing them
+# across Arrow batches, tasks, and pipeline runs changes nothing but the
+# constant factor. Before round 6 both dicts were rebuilt per batch, so
+# every task re-derived the md5-seeded feature vectors from scratch (the
+# dominant cost of the hash encoder) and the second bench link run re-paid
+# the whole model build. Keys are f"{salt}\x00{gram}"; the memo is capped
+# to bound a long session's footprint.
+_FEAT_CACHE: dict[str, np.ndarray] = {}
+_STR_MEMO: dict[str, np.ndarray] = {}
+_STR_MEMO_MAX = 1_000_000
+
+
 def _encode_batch(
     texts: pd.Series, dim: int = EMBED_DIM, salt: str = ""
 ) -> pd.Series:
     """Mean-pooled feature vectors, L2-normalized. Vectorized per Arrow
-    batch with a feature-vector cache (the 'model' here) plus a
-    string-level memo — pair tables repeat keys, so each distinct string
-    in a batch encodes once. `salt` keys the feature space: distinct
-    salts model distinct embedding sources (the reference's model/layer
-    axis) with the same similarity structure but independent vectors."""
-    cache: dict[str, np.ndarray] = {}
-    memo: dict[str, np.ndarray] = {}
+    batch with a worker-lifetime feature-vector cache (the 'model' here)
+    plus a string-level memo — pair tables repeat keys, so each distinct
+    string encodes once per worker. `salt` keys the feature space:
+    distinct salts model distinct embedding sources (the reference's
+    model/layer axis) with the same similarity structure but independent
+    vectors."""
+    cache = _FEAT_CACHE
+    memo = _STR_MEMO
     out = []
     for s in texts:
         s = s or ""
-        v = memo.get(s)
+        mk = f"{salt}\x00{s}"
+        v = memo.get(mk)
         if v is None:
             acc = np.zeros(dim)
             for g in _features(s):
-                fv = cache.get(g)
+                ck = f"{salt}\x00{g}"
+                fv = cache.get(ck)
                 if fv is None:
-                    fv = cache[g] = _unit_vec(salt + g, dim)
+                    fv = cache[ck] = _unit_vec(salt + g, dim)
                 acc += fv
             n = np.linalg.norm(acc)
-            v = memo[s] = (acc / n if n > 0 else acc).astype(np.float32)
+            if len(memo) >= _STR_MEMO_MAX:
+                memo.clear()
+            v = memo[mk] = (acc / n if n > 0 else acc).astype(np.float32)
         out.append(v)
     return pd.Series(out)
 
@@ -444,7 +463,16 @@ def make_gated_jw_udf(threshold: float):
     and removed 62% of pairs from the exact-JW stage on the 40k bench
     (5.9s → 1.5s) with zero edge difference. Round 4 replaces the
     surviving rows' scalar loop with jw_exact_batch (vectorized exact,
-    2.7x) — the whole scorer is now numpy end-to-end."""
+    2.7x) — the whole scorer is now numpy end-to-end.
+
+    Returned non-deterministic (round 6): every caller computes the score
+    with withColumn and immediately filters on it, and filter pushdown
+    duplicates a deterministic UDF into two ArrowEvalPython nodes — one
+    below the pushed filter, one in the surviving projection — so every
+    pair paid the gate twice and every survivor the exact kernel twice
+    (verified in the q39/score_pairs plans). Marking it non-deterministic
+    pins a single evaluation; the score itself is a pure function of
+    (a, b), so results are unchanged."""
     thr = float(threshold) - 1e-12
 
     @F.pandas_udf(T.DoubleType())
@@ -458,7 +486,7 @@ def make_gated_jw_udf(threshold: float):
                 out[keep] = jw_exact_batch(av[keep], bv[keep])
         return pd.Series(out)
 
-    return gated_jw
+    return gated_jw.asNondeterministic()
 
 
 @F.pandas_udf(T.DoubleType())
