@@ -168,6 +168,17 @@ def lsh_candidate_pairs(
     """
     assert hot_bucket_mode in ("drop", "salt")
     bucketed = lsh_buckets(surfaces, key_col, num_hashes, bands, rows)
+    # word grouping, computed ONCE per bucket-membership row (round 6):
+    # the WordGrouping blocking dimension (pelinker/onto.py:247-252 — an
+    # n-word surface never links to an m-word surface) used to be a
+    # post-join filter running size(split(...)) on BOTH sides of every
+    # generated pair row (~2x|raw pairs| regex splits); deriving it here
+    # and joining on it instead produces the exact same pair set while
+    # never generating the cross-width pairs at all. Bucket-size caps
+    # still count the whole (band, bh) bucket, as before.
+    bucketed = bucketed.withColumn(
+        "wg", F.size(F.split(F.col(key_col), " "))
+    )
     # the bucket table feeds both the size aggregation and the semi-join
     # probe, and later both sides of the pair self-join — without
     # materialization the minhash lineage recomputes up to 4x
@@ -183,11 +194,11 @@ def lsh_candidate_pairs(
     if registry is not None:
         registry.append(cold)
 
-    a = cold.select(F.col("band"), F.col("bh"), F.col(key_col).alias("key_a"))
-    b = cold.select(F.col("band"), F.col("bh"), F.col(key_col).alias("key_b"))
-    raw = a.join(b, ["band", "bh"]).where(F.col("key_a") < F.col("key_b")).select(
-        "key_a", "key_b"
-    )
+    a = cold.select("band", "bh", "wg", F.col(key_col).alias("key_a"))
+    b = cold.select("band", "bh", "wg", F.col(key_col).alias("key_b"))
+    raw = a.join(b, ["band", "bh", "wg"]).where(
+        F.col("key_a") < F.col("key_b")
+    ).select("key_a", "key_b")
     if hot_bucket_mode == "salt":
         stop = stop_block if stop_block is not None else max_block * 40
         hot = bucketed.join(
@@ -197,19 +208,11 @@ def lsh_candidate_pairs(
             "left_semi",
         )
         raw = raw.unionByName(
-            salted_block_pairs(hot, ["band", "bh"], key_col, hot_salts).select(
-                "key_a", "key_b"
-            )
+            salted_block_pairs(
+                hot, ["band", "bh", "wg"], key_col, hot_salts
+            ).select("key_a", "key_b")
         )
-    pairs = (
-        raw
-        # word-count bucket must match — the reference's WordGrouping
-        # blocking dimension (pelinker/onto.py:247-252): an n-word surface
-        # never links to an m-word surface
-        .where(F.size(F.split(F.col("key_a"), " ")) == F.size(F.split(F.col("key_b"), " ")))
-        .dropDuplicates(["key_a", "key_b"])
-    )
-    return pairs
+    return raw.dropDuplicates(["key_a", "key_b"])
 
 
 def compact_key_pairs(

@@ -105,12 +105,16 @@ def connected_components(
     max_iter: int = 25,
     driver_max_edges: int = DRIVER_MAX_EDGES,
     stats: dict | None = None,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(src, dst) [string keys] → (key, component) where component is
     the lexicographically smallest member key. Deterministic: depends only
     on the edge set, never on partitioning. When `stats` is given it is
     filled with {"path": driver|distributed, "iterations": n} for
-    observability (bench receipts)."""
+    observability (bench receipts). Callers that already know the exact
+    edge count (link_pipeline materializes edges with a count() barrier
+    right before calling) pass it as `n_edges` so the strategy probe costs
+    no extra job."""
     spark = edges.sparkSession
     # Strategy probe in two steps (VERDICT r4 #5): a count-only probe of
     # at most driver_max_edges+1 rows decides the path — when the edge
@@ -123,7 +127,11 @@ def connected_components(
     # the second action re-reads the cached table, not the lineage.
     probe = None
     if driver_max_edges > 0:
-        probe_n = edges.select(src, dst).limit(driver_max_edges + 1).count()
+        probe_n = (
+            n_edges
+            if n_edges is not None
+            else edges.select(src, dst).limit(driver_max_edges + 1).count()
+        )
         if probe_n <= driver_max_edges:
             probe = edges.select(src, dst).toPandas()
     if probe is not None and len(probe) <= driver_max_edges:

@@ -36,7 +36,7 @@ from .checkpoint import CheckpointManager
 from .extract import extract_text
 from .mentions import generate_mentions, kb_blocking_keys
 from .metrics import pairwise_prf
-from .scoring import cosine_col, make_encode_udf, make_gated_jw_udf
+from .scoring import EMBED_DIM, cosine_col, make_encode_udf, make_gated_jw_udf
 
 
 @dataclass
@@ -245,7 +245,10 @@ def score_pairs(pairs: DataFrame, cfg: LinkConfig,
         )
         .withColumn(
             "cos",
-            cosine_col(F.col("emb_a"), F.col("emb_b")) / F.lit(float(k_sources)),
+            cosine_col(
+                F.col("emb_a"), F.col("emb_b"), dim=EMBED_DIM * k_sources
+            )
+            / F.lit(float(k_sources)),
         )
         .drop("emb_a", "emb_b")
     )
@@ -405,13 +408,14 @@ def link_pipeline(
         )
 
     edges = stage("edges", build_edges, persist=True)
+    n_edges = None
     if not ckpt:
         # the ONE eager barrier: materializing edges runs the whole
         # extract→mentions→surfaces→pairs→score chain as a single job wave
         # (populating every cache above), after which pair-generation
-        # internals can be released and connected_components' driver probe
-        # reads the (tiny) cached edge table instead of re-deriving lineage.
-        edges.count()
+        # internals can be released and connected_components reuses this
+        # count as its strategy probe (no extra probe job).
+        n_edges = edges.count()
     for df in registry:
         df.unpersist()
     registry.clear()
@@ -427,6 +431,7 @@ def link_pipeline(
                 "key_a",
                 "key_b",
                 driver_max_edges=cfg.cc_driver_max_edges,
+                n_edges=n_edges,
             )
         return comp_memo["df"]
 

@@ -143,14 +143,27 @@ def make_encode_udf(variant: str = "default"):
     return encode_variant
 
 
-def cosine_col(a: Column, b: Column) -> Column:
+def cosine_col(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine of two pre-normalized Array<Float> columns — pure column
-    algebra (SURVEY.md F12), no UDF."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    algebra (SURVEY.md F12), no UDF.
+
+    When the vector width is statically known (the pipeline's encoders
+    always emit k·EMBED_DIM), pass `dim`: the zip_with/aggregate
+    higher-order lambdas are *interpreted* per element, while the unrolled
+    sum below is whole-stage-codegen'd scalar arithmetic (round 6;
+    measured on the 40k bench's cosine-join stage). The accumulation is
+    the same left-associated (((0+x0)+x1)+…) chain over the same element
+    products, so the result is bit-identical to the HOF form."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    acc = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
 
 
 # ----------------------------------------------- JVM Jaro-Winkler pre-gate

@@ -58,6 +58,13 @@ def _h(*parts: object) -> int:
     return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
 
 
+# page_record calls _h once per token (~150 md5s/page); the join+str
+# formatting around the hash dominated the generator's CPU (round 6).
+# These helpers produce byte-identical hash inputs with the per-sentence
+# prefix built once and small ints pre-encoded.
+_BINT = tuple(str(x).encode() for x in range(64))
+
+
 def kb_rows(n_entities: int, seed: int = 13) -> list[dict]:
     """Deterministic KB: entity_id, label (1-3 words), description, example.
 
@@ -147,19 +154,25 @@ def page_record(seed: int, i: int, kb: list[dict]) -> dict:
     n_sent = 3 + (h >> 4) % 5
     n_mentions = 1 + (h >> 8) % 4
     sents: list[str] = []
+    md5 = hashlib.md5
+    n_dis = len(_DISTRACTORS)
     for s in range(n_sent):
         hs = _h(seed, "sent", i, s)
         n_tok = 6 + hs % 9
+        # identical bytes to _h(seed, "tok", i, s, t), with the constant
+        # prefix encoded once per sentence instead of re-joined per token
+        pre = f"{seed}\x1ftok\x1f{i}\x1f{s}\x1f".encode()
         toks = []
+        append = toks.append
         for t in range(n_tok):
-            ht = _h(seed, "tok", i, s, t)
+            ht = int.from_bytes(md5(pre + _BINT[t]).digest()[:8], "big")
             # Zipf-ish: 60% head vocabulary, 40% long-tail hashed terms —
             # realistic webtext has a heavy tail; a tiny closed vocabulary
             # would make every n-gram window collide with every other
             if ht % 5 < 3:
-                toks.append(_DISTRACTORS[ht % len(_DISTRACTORS)])
+                append(_DISTRACTORS[ht % n_dis])
             else:
-                toks.append(f"term{(ht >> 16) % 20000}")
+                append(f"term{(ht >> 16) % 20000}")
         if s < n_mentions:
             ent = kb[_h(seed, "ment", i, s) % len(kb)]
             surface = _vary_surface(ent["label"], _h(seed, "var", i, s))
@@ -219,7 +232,13 @@ def web_pages(
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([page_record(seed, int(i), kb) for i in pdf["id"]])
+            recs = [page_record(seed, int(i), kb) for i in pdf["id"]]
+            # dict-of-lists constructor: pandas builds each column once
+            # instead of inferring/aligning per row dict (round 6)
+            yield pd.DataFrame(
+                {k: [r[k] for r in recs] for k in
+                 ("url", "warc_ts", "html", "text", "lang")}
+            )
 
     return rng.mapInPandas(gen, PAGE_SCHEMA)
 
