@@ -180,8 +180,8 @@ def lsh_candidate_pairs(
         "wg", F.size(F.split(F.col(key_col), " "))
     )
     # the bucket table feeds both the size aggregation and the semi-join
-    # probe, and later both sides of the pair self-join — without
-    # materialization the minhash lineage recomputes up to 4x
+    # probe (and the hot path in salt mode) — without materialization the
+    # minhash lineage recomputes up to 3x
     bucketed = bucketed.persist()
     if registry is not None:
         registry.append(bucketed)
@@ -190,15 +190,28 @@ def lsh_candidate_pairs(
         sizes.where(F.col("bn") <= max_block).select("band", "bh"),
         ["band", "bh"],
         "left_semi",
-    ).persist()
-    if registry is not None:
-        registry.append(cold)
-
-    a = cold.select("band", "bh", "wg", F.col(key_col).alias("key_a"))
-    b = cold.select("band", "bh", "wg", F.col(key_col).alias("key_b"))
-    raw = a.join(b, ["band", "bh", "wg"]).where(
-        F.col("key_a") < F.col("key_b")
-    ).select("key_a", "key_b")
+    )
+    # In-bucket pair enumeration via ONE groupBy + in-row double explode
+    # (round 6): collecting each capped bucket's members into an array and
+    # expanding pairs row-side replaces the (a x b) self-join — two
+    # exchanges of the full bucket-membership table plus a hash join —
+    # with a single exchange and codegen'd explodes. Safe by construction:
+    # only buckets already capped to max_block rows are collected, so no
+    # aggregation buffer can exceed max_block entries regardless of how
+    # degenerate a raw bucket is (giant buckets were excluded by the
+    # semi join above, exactly as before). Pair set is identical
+    # (parity-verified against the self-join form, both hot modes).
+    g = cold.groupBy("band", "bh").agg(
+        F.collect_list(F.struct("wg", F.col(key_col).alias("k"))).alias("ms")
+    )
+    raw = (
+        g.select(F.explode("ms").alias("x"), "ms")
+        .select("x", F.explode("ms").alias("y"))
+        .where(
+            (F.col("x.wg") == F.col("y.wg")) & (F.col("x.k") < F.col("y.k"))
+        )
+        .select(F.col("x.k").alias("key_a"), F.col("y.k").alias("key_b"))
+    )
     if hot_bucket_mode == "salt":
         stop = stop_block if stop_block is not None else max_block * 40
         hot = bucketed.join(

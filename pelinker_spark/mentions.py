@@ -120,37 +120,56 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
     toks = F.split(F.col("sent"), " ")
     df = df.select(
         "url", *extra_cols, "itext", "ichunk", "sent_off",
+        F.col("sent"),
         toks.alias("toks"),
-        _starts(toks).alias("tstarts"),  # n+1 entries
     )
 
     # zip toks with its own shifted slices: row i carries toks[i], toks[i+1],
-    # toks[i+2] and the window end offsets tstarts[i+1..i+3]. arrays_zip
-    # null-pads the shorter shifted arrays, which exactly marks the
-    # out-of-range windows at the sentence tail.
+    # toks[i+2]. arrays_zip null-pads the shorter shifted arrays, which
+    # exactly marks the out-of-range windows at the sentence tail.
+    #
+    # Char offsets (round 6): computed SCALAR-side after the explode with
+    # substring_index over the normalized sentence — token i starts at
+    # len(prefix up to the i-th space)+1 and window (i, w) ends at
+    # len(prefix up to the (i+w)-th space); when the count exceeds the
+    # space count substring_index returns the whole sentence, which is
+    # exactly the sentence-final boundary. This replaces the previous
+    # _starts running-sum aggregate (an interpreted lambda whose
+    # array-concat accumulator copied O(n^2) elements per sentence) with
+    # whole-stage-codegen'd string scans, and drops four int arrays from
+    # the exploded zip payload. Values are identical (parity-tested
+    # against generate_mentions_hof and oracle q53).
     n = F.size("toks")
     df = df.select(
-        "url", *extra_cols, "itext", "ichunk", "sent_off",
+        "url", *extra_cols, "itext", "ichunk", "sent_off", "sent",
         F.posexplode(
             F.arrays_zip(
                 F.col("toks").alias("t1"),
                 F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
                 F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("t3"),
-                F.slice("tstarts", 1, n).alias("s0"),
-                F.slice("tstarts", 2, n).alias("e1"),
-                F.slice("tstarts", 3, F.greatest(n - 1, F.lit(0))).alias("e2"),
-                F.slice("tstarts", 4, F.greatest(n - 2, F.lit(0))).alias("e3"),
             )
         ).alias("pos", "z"),
-    ).select(
+    )
+
+    def _boundary(k: Column) -> Column:
+        # call_function: the python substring_index wrapper only takes an
+        # int count, but the SQL function accepts a column count
+        return F.length(
+            F.call_function("substring_index", F.col("sent"), F.lit(" "), k)
+        )
+
+    df = df.select(
         "url", *extra_cols, "itext", "ichunk", "sent_off",
         F.col("z.t1").alias("t1"),
         F.col("z.t2").alias("t2"),
         F.col("z.t3").alias("t3"),
-        F.col("z.s0").cast("long").alias("a"),
-        (F.col("z.e1") - 1).cast("long").alias("b1"),
-        (F.col("z.e2") - 1).cast("long").alias("b2"),
-        (F.col("z.e3") - 1).cast("long").alias("b3"),
+        F.when(F.col("pos") == 0, F.lit(0))
+        .otherwise(_boundary(F.col("pos")) + 1)
+        .cast("long")
+        .alias("a"),
+        _boundary(F.col("pos") + 1).cast("long").alias("b1"),
+        _boundary(F.col("pos") + 2).cast("long").alias("b2"),
+        _boundary(F.col("pos") + 3).cast("long").alias("b3"),
     )
     df = df.select(
         "*",
