@@ -76,7 +76,11 @@ def evaluate_threshold_grid(
         ).collect()[0]
         if not stats["n"]:
             continue
-        comp = connected_components(kept, src, dst).persist()
+        # stats already counted the kept edges — hand the count to CC so
+        # its driver/distributed strategy probe costs no extra job
+        comp = connected_components(
+            kept, src, dst, n_edges=int(stats["n"])
+        ).persist()
         n_clusters = (
             comp.groupBy("component").count().where(F.col("count") >= 2).count()
         )

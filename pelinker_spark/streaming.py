@@ -618,8 +618,14 @@ def compact_incremental_state(
             # the post-compaction file count == cfg.state_prefixes
             folded = src.drop("batch_id")
             writer = folded.repartition("pfx").write.partitionBy("pfx")
-        counts[table] = folded.count()
+        # write first, then count from the written parquet's footers — a
+        # metadata-only job. Counting the DataFrame before the write ran
+        # the whole fold twice (round 6: the one repeated-work plan in
+        # the compaction path).
         writer.mode("overwrite").parquet(f"{out_dir}/.compact_tmp/{table}")
+        counts[table] = spark.read.parquet(
+            f"{out_dir}/.compact_tmp/{table}"
+        ).count()
 
     fs_write_text_atomic(
         spark,
