@@ -178,6 +178,23 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         norm_token_col(F.col("t3")).alias("n3"),
     )
 
+    # per-token keep-predicate atoms, projected ONCE (round 6): the three
+    # window structs previously inlined `(n_i != "")` and the 22-term
+    # stopword isin per token per window — six copies of the isin tree in
+    # one Project. Hoisting them as columns shrinks the expression tree
+    # ~4x, which cuts Catalyst canonicalization/codegen time for every
+    # plan that embeds the mention lineage, and the combining &/| below
+    # uses the SAME operand subtrees so the three-valued-logic result is
+    # unchanged (parity-tested).
+    df = df.select(
+        "*",
+        *[(F.col(f"n{i}") != "").alias(f"ne{i}") for i in (1, 2, 3)],
+        *[
+            (~F.col(f"n{i}").isin(*sorted(STOPWORDS))).alias(f"ns{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+
     stype = "struct<wg:int,mention:string,key:string,b:bigint>"
 
     def _w_struct(w: int) -> Column:
@@ -186,11 +203,11 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         # keep-predicate, scalar form of window_is_valid_col: no token
         # normalizes empty, at least one token is a non-stopword
         no_empty = F.lit(True)
-        for nc in norms_w:
-            no_empty = no_empty & (nc != "")
+        for i in range(1, w + 1):
+            no_empty = no_empty & F.col(f"ne{i}")
         not_all_stop = F.lit(False)
-        for nc in norms_w:
-            not_all_stop = not_all_stop | ~nc.isin(*sorted(STOPWORDS))
+        for i in range(1, w + 1):
+            not_all_stop = not_all_stop | F.col(f"ns{i}")
         in_range = toks_w[-1].isNotNull()
         return F.when(
             in_range & no_empty & not_all_stop,

@@ -335,36 +335,43 @@ def link_pipeline(
         persist=True,
         storage=StorageLevel.MEMORY_AND_DISK,
     )
-    # The surface cache is built UNCOMPRESSED: measured at 320k pages /
-    # 8 cores, the lz4 columnar-compression pass dominated the stage
-    # (54.2s wall / 338 CPU-s compressed vs 18.6s / 145 uncompressed —
-    # the agg itself is 8s; tools/surfaces_exp.py receipts). The table is
-    # small relative to mentions (12.5M rows, ~4 narrow columns here vs
-    # 35.5M wide), so the memory cost is negligible while the mentions
-    # cache — 10x bigger and eviction-sensitive — stays compressed.
-    # Spark captures this conf per persist() call (CacheManager reads
-    # useCompression when the InMemoryRelation is created), which is what
-    # makes per-table scoping possible.
     _COMPRESS_KEY = "spark.sql.inMemoryColumnarStorage.compressed"
-    _prev_compress = spark.conf.get(_COMPRESS_KEY, "true")
-    spark.conf.set(_COMPRESS_KEY, "false")
-    try:
-        surfaces = stage(
-            "surfaces",
-            lambda: surface_table(mentions),
-            persist=True,
-            storage=StorageLevel.MEMORY_AND_DISK,
-        )
-    finally:
-        spark.conf.set(_COMPRESS_KEY, _prev_compress)
     if not ckpt and cfg.surface_barrier:
-        # barrier 1 of 2: the surface table is scanned by three independent
-        # downstream branches (LSH channel, compact-channel probe, compact-
-        # channel build); materializing it once prevents the branches from
-        # racing on a cold cache and recomputing the aggregation 3x. As a
-        # side effect the mentions cache (the surface groupBy's map side)
-        # is warmed for the final cluster-assignment join.
-        surfaces.count()
+        # barrier 1 of 2, as a localCheckpoint (round 6): the surface
+        # table is scanned by three independent downstream branches (LSH
+        # channel, compact-channel probe, compact-channel build) and its
+        # lineage — the full synth/extract/mention expression forest —
+        # was otherwise re-walked by Catalyst/AQE for EVERY downstream
+        # query (event-log receipt: ~2s driver gap before the edges wave
+        # and ~1.7s before the final wave, pure planning). Eagerly
+        # materializing AND truncating to a leaf here removes that
+        # planning tax (measured −3.5s per 40k link run, identical
+        # clusters), materializes once so the branches can't race a cold
+        # cache, and warms the mentions cache (the groupBy's map side)
+        # for the final cluster-assignment join. Fault-tolerance of this
+        # intermediate is not needed (guide §5): losing an executor
+        # locally means losing the app anyway, and the checkpointed RDD
+        # is freed by the context cleaner when the result is dropped.
+        surfaces = stage("surfaces", lambda: surface_table(mentions))
+        surfaces = surfaces.localCheckpoint()
+    else:
+        # checkpoint-manager mode (parquet-backed stages) or explicit
+        # barrier opt-out: keep the cached-plan shape. The surface cache
+        # is built UNCOMPRESSED per the r5 receipt (the lz4 columnar pass
+        # dominated the stage: 54.2s vs 18.6s at 320k pages; the table is
+        # small relative to mentions). Spark captures this conf per
+        # persist() call, which is what makes per-table scoping possible.
+        _prev_compress = spark.conf.get(_COMPRESS_KEY, "true")
+        spark.conf.set(_COMPRESS_KEY, "false")
+        try:
+            surfaces = stage(
+                "surfaces",
+                lambda: surface_table(mentions),
+                persist=True,
+                storage=StorageLevel.MEMORY_AND_DISK,
+            )
+        finally:
+            spark.conf.set(_COMPRESS_KEY, _prev_compress)
 
     registry: list = []
 
