@@ -128,17 +128,18 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
     # toks[i+2]. arrays_zip null-pads the shorter shifted arrays, which
     # exactly marks the out-of-range windows at the sentence tail.
     #
-    # Char offsets (round 6): computed SCALAR-side after the explode with
-    # substring_index over the normalized sentence — token i starts at
-    # len(prefix up to the i-th space)+1 and window (i, w) ends at
-    # len(prefix up to the (i+w)-th space); when the count exceeds the
-    # space count substring_index returns the whole sentence, which is
-    # exactly the sentence-final boundary. This replaces the previous
-    # _starts running-sum aggregate (an interpreted lambda whose
-    # array-concat accumulator copied O(n^2) elements per sentence) with
-    # whole-stage-codegen'd string scans, and drops four int arrays from
-    # the exploded zip payload. Values are identical (parity-tested
-    # against generate_mentions_hof and oracle q53).
+    # Char offsets (round 6): ONE substring_index prefix scan per token row
+    # — b1 = len(prefix through token pos+1); every other boundary is
+    # length arithmetic over the single-space-joined sentence:
+    # a = b1 - len(t1), b2 = b1 + 1 + len(t2), b3 = b2 + 1 + len(t3).
+    # (The first formulation ran FOUR substring_index scans per row; the
+    # original _starts running-sum aggregate before that was an
+    # interpreted lambda whose array-concat accumulator copied O(n^2)
+    # elements per sentence.) b2/b3 are null for windows past the sentence
+    # tail (len(null)), exactly where the w-struct's in_range gate already
+    # discards them, so emitted values are identical (parity-tested
+    # against generate_mentions_hof and oracle q53; noop-isolated A/B at
+    # 40k pages: 1.4 -> 1.2 s steady).
     n = F.size("toks")
     df = df.select(
         "url", *extra_cols, "itext", "ichunk", "sent_off", "sent",
@@ -151,28 +152,28 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         ).alias("pos", "z"),
     )
 
-    def _boundary(k: Column) -> Column:
-        # call_function: the python substring_index wrapper only takes an
-        # int count, but the SQL function accepts a column count
-        return F.length(
-            F.call_function("substring_index", F.col("sent"), F.lit(" "), k)
+    # call_function: the python substring_index wrapper only takes an int
+    # count, but the SQL function accepts a column count
+    b1 = F.length(
+        F.call_function(
+            "substring_index", F.col("sent"), F.lit(" "), F.col("pos") + 1
         )
-
+    ).cast("long")
     df = df.select(
         "url", *extra_cols, "itext", "ichunk", "sent_off",
         F.col("z.t1").alias("t1"),
         F.col("z.t2").alias("t2"),
         F.col("z.t3").alias("t3"),
-        F.when(F.col("pos") == 0, F.lit(0))
-        .otherwise(_boundary(F.col("pos")) + 1)
-        .cast("long")
-        .alias("a"),
-        _boundary(F.col("pos") + 1).cast("long").alias("b1"),
-        _boundary(F.col("pos") + 2).cast("long").alias("b2"),
-        _boundary(F.col("pos") + 3).cast("long").alias("b3"),
+        b1.alias("b1"),
     )
     df = df.select(
         "*",
+        (F.col("b1") - F.length("t1")).cast("long").alias("a"),
+        (F.col("b1") + F.length("t2") + 1).cast("long").alias("b2"),
+    )
+    df = df.select(
+        "*",
+        (F.col("b2") + F.length("t3") + 1).cast("long").alias("b3"),
         norm_token_col(F.col("t1")).alias("n1"),
         norm_token_col(F.col("t2")).alias("n2"),
         norm_token_col(F.col("t3")).alias("n3"),
