@@ -113,9 +113,17 @@ def _warm_runtime(spark: SparkSession, cores: int) -> None:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        @F.pandas_udf(T.LongType())
-        def _warm_identity(x: pd.Series) -> pd.Series:
+        # NB: this module has `from __future__ import annotations`, so
+        # inline hints would be PEP-563 strings that pandas_udf cannot
+        # resolve against module globals (pd is a *local* import here) —
+        # it then raises UNSUPPORTED_SIGNATURE and the whole warm-up was
+        # silently skipped. Real class objects in __annotations__ dodge
+        # the string-resolution path entirely.
+        def _warm_fn(x):
             return x
+
+        _warm_fn.__annotations__ = {"x": pd.Series, "return": pd.Series}
+        _warm_identity = F.pandas_udf(_warm_fn, T.LongType())
 
         sc = spark.sparkContext
         sc.setJobDescription("session warm-up: python workers + codegen")
@@ -147,25 +155,42 @@ def _warm_runtime(spark: SparkSession, cores: int) -> None:
             spark.read.parquet(f"{tmp}/t").limit(1).count()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        # micro link-pipeline: one 64-page pass compiles the pipeline's
+        # micro link-pipeline: one small pass compiles the pipeline's
         # generated code (mention explode, minhash, scoring, CC) so the
         # first REAL pipeline call measures the engine, not Janino. The
         # input is synthesized in-process, the output is discarded, and
         # nothing derived from any caller data is retained — this warms
         # CODE, not results (first-call compile measured ~10s of a 2k-page
-        # pipeline's wall; after this it is execution-only).
+        # pipeline's wall; after this it is execution-only). Size is
+        # env-tunable: at the default 64 pages the AQE plan shapes of a
+        # production-size batch differ (different join strategies → new
+        # codegen units), so callers that will run real batches can raise
+        # PELINKER_WARM_PAGES to pre-compile those shapes too; short-lived
+        # sessions (unit tests) keep the cheap default.
         from .pipeline import LinkConfig, link_pipeline
         from .synth import web_pages
 
-        wp = web_pages(spark, 64, seed=3, n_entities=8, partitions=2)
-        r = link_pipeline(spark, wp, cfg=LinkConfig())
-        r.clusters.count()
-        r.unpersist()
+        warm_pages = int(os.environ.get("PELINKER_WARM_PAGES", "64"))
+        if warm_pages > 0:
+            wp = web_pages(
+                spark,
+                warm_pages,
+                seed=3,
+                n_entities=max(8, warm_pages // 40),
+                partitions=max(2, min(8, warm_pages // 250)),
+            )
+            r = link_pipeline(spark, wp, cfg=LinkConfig())
+            r.clusters.count()
+            r.unpersist()
         sc.setJobDescription(None)
-    except Exception:
+    except Exception as e:
         # warm-up must never break session construction (e.g. stripped
-        # env without pandas); callers just pay the cold start instead
-        pass
+        # env without pandas); callers just pay the cold start instead.
+        # Surface the cause on stderr — a silently-skipped warm-up shows
+        # up only as mysteriously slow first calls.
+        import sys as _sys
+
+        print(f"pelinker warm-up skipped: {e!r}", file=_sys.stderr)
     try:
         spark._pelinker_warmed = True
     except Exception:

@@ -9,12 +9,17 @@ Usage: python tools/check_oracle.py [query ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
+
+# correctness gate, not a benchmark: skip the session warm-up's pipeline
+# pass (PELINKER_WARM_PAGES sizes it for production batches)
+os.environ.setdefault("PELINKER_WARM_PAGES", "0")
 
 SF_DIR = "/root/testdata/sf0.01"
 
