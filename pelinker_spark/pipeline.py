@@ -421,14 +421,22 @@ def link_pipeline(
             "key_a", "key_b", "jw", "cos"
         )
 
-    edges = stage("edges", build_edges, persist=True)
     n_edges = None
-    if not ckpt:
-        # the ONE eager barrier: materializing edges runs the whole
-        # extract→mentions→surfaces→pairs→score chain as a single job wave
-        # (populating every cache above), after which pair-generation
-        # internals can be released and connected_components reuses this
-        # count as its strategy probe (no extra probe job).
+    if ckpt:
+        # checkpoint-manager mode: parquet-backed stage, already a leaf
+        edges = stage("edges", build_edges, persist=True)
+    else:
+        # the ONE eager barrier, as a localCheckpoint (round 6, same
+        # rationale as the surface barrier): materializing edges runs the
+        # whole extract→mentions→surfaces→pairs→score chain as a single
+        # job wave (populating every cache above). Checkpointing rather
+        # than persist+count truncates the score_pairs expression forest
+        # (pair channels + two UDF joins) out of the THREE downstream
+        # plans that re-embed edges (components, incident scores, cluster
+        # assignment), which Catalyst otherwise re-canonicalizes per
+        # query; the count on the checkpointed leaf is then metadata-cheap
+        # and still feeds connected_components' strategy probe.
+        edges = stage("edges", build_edges).localCheckpoint()
         n_edges = edges.count()
     for df in registry:
         df.unpersist()
