@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .exprcache import session_cached
+
 _KEY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
 
@@ -78,24 +80,34 @@ def minhash_signatures_agg(
 
     Returns (key, mh0..mh{num_hashes-1})."""
     assert num_hashes <= len(_MH_A)
-    k = F.col(key_col)
-    padded = F.when(F.length(k) < n, F.rpad(k, n, "_")).otherwise(k)
+    c_prep, c_sh, aggs = _mh_cols(key_col, num_hashes, n)
     # explode an integer sequence, then scalar substring — building the
     # shingle array with a transform() lambda would run interpreted per
     # element; this shape stays in whole-stage codegen
-    ex = surfaces.select(
-        key_col,
+    ex = surfaces.select(*c_prep).select(*c_sh)
+    return ex.groupBy(key_col).agg(*aggs)
+
+
+@session_cached
+def _mh_cols(key_col: str, num_hashes: int, n: int):
+    """Static Column fragments of minhash_signatures_agg, built once per
+    session (py4j construction cost — see exprcache)."""
+    k = F.col(key_col)
+    padded = F.when(F.length(k) < n, F.rpad(k, n, "_")).otherwise(k)
+    c_prep = [
+        F.col(key_col),
         padded.alias("__p"),
         F.explode(
             F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1))
         ).alias("i"),
-    ).select(key_col, F.expr(f"substr(__p, i, {n})").alias("sh"))
+    ]
+    c_sh = [F.col(key_col), F.expr(f"substr(__p, i, {n})").alias("sh")]
     h = F.shiftrightunsigned(F.xxhash64(F.col("sh")), 33)
     aggs = [
-        F.min((h + F.lit(k)) * F.lit(_MH_A[k]) % F.lit(2147483647)).alias(f"mh{k}")
-        for k in range(num_hashes)
+        F.min((h + F.lit(j)) * F.lit(_MH_A[j]) % F.lit(2147483647)).alias(f"mh{j}")
+        for j in range(num_hashes)
     ]
-    return ex.groupBy(key_col).agg(*aggs)
+    return c_prep, c_sh, aggs
 
 
 def lsh_buckets(
@@ -113,6 +125,13 @@ def lsh_buckets(
     blocking path relies on (streaming.incremental_link_batch)."""
     assert num_hashes >= bands * rows
     sig = minhash_signatures_agg(keys.select(key_col), key_col, num_hashes)
+    c_band, c_post = _band_cols(key_col, bands, rows)
+    return sig.select(*c_band).select(*c_post)
+
+
+@session_cached
+def _band_cols(key_col: str, bands: int, rows: int):
+    """Static Column fragments of lsh_buckets (see exprcache)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -125,9 +144,13 @@ def lsh_buckets(
         )
         for b in range(bands)
     ]
-    return sig.select(
-        key_col, F.explode(F.array(*band_structs)).alias("bnd")
-    ).select(key_col, F.col("bnd.band").alias("band"), F.col("bnd.bh").alias("bh"))
+    c_band = [F.col(key_col), F.explode(F.array(*band_structs)).alias("bnd")]
+    c_post = [
+        F.col(key_col),
+        F.col("bnd.band").alias("band"),
+        F.col("bnd.bh").alias("bh"),
+    ]
+    return c_band, c_post
 
 
 def lsh_candidate_pairs(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .exprcache import session_cached
 from .textnorm import (
     STOPWORDS,
     blocking_key_col,
@@ -88,46 +89,30 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
     if lang is not None and "lang" in df.columns:
         df = df.where(F.col("lang") == lang)
 
-    df = df.select(
-        "url",
-        *extra_cols,
-        F.lit(0).cast("long").alias("itext"),
-        split_sentences(normalize_ws(F.col("text"))).alias("sents"),
-    )
+    # All Column fragments below are static given (windows, extra_cols):
+    # building them is ~0.5 s of py4j round trips per call, re-paid per
+    # pipeline run / streaming batch, so they are constructed once per
+    # session (exprcache.session_cached; unresolved Columns are immutable
+    # and reusable across DataFrames). Plan shape and values unchanged.
+    (
+        c_sents, c_explode1, c_post1, c_toks, c_explode2,
+        c_b1, c_ab2, c_b3n, c_nens, c_wexplode, c_final,
+    ) = _mention_plan_cols(tuple(windows), tuple(extra_cols))
+
+    df = df.select(*c_sents)
     # doc-global offset of each sentence (array-side running sum, no shuffle)
-    df = df.select(
-        "url",
-        *extra_cols,
-        "itext",
-        F.posexplode(
-            F.arrays_zip(
-                F.col("sents"),
-                F.slice(_starts(F.col("sents")), 1, F.size("sents")).alias("soff"),
-            )
-        ).alias("ichunk", "z"),
-    ).select(
-        "url",
-        *extra_cols,
-        "itext",
-        F.col("ichunk").cast("long").alias("ichunk"),
-        F.col("z.sents").alias("sent"),
-        F.col("z.soff").alias("sent_off"),
-    )
+    df = df.select(*c_explode1).select(*c_post1)
 
     # sentences are whitespace-normalized upstream (single spaces, no
     # edges), so a plain split can never produce empty tokens — skipping
     # tokenize_col's interpreted filter() lambda over ~100M tokens
-    toks = F.split(F.col("sent"), " ")
-    df = df.select(
-        "url", *extra_cols, "itext", "ichunk", "sent_off",
-        F.col("sent"),
-        toks.alias("toks"),
-    )
+    df = df.select(*c_toks)
 
     # zip toks with its own shifted slices: row i carries toks[i], toks[i+1],
     # toks[i+2]. arrays_zip null-pads the shorter shifted arrays, which
     # exactly marks the out-of-range windows at the sentence tail.
-    #
+    df = df.select(*c_explode2)
+
     # Char offsets (round 6): ONE substring_index prefix scan per token row
     # — b1 = len(prefix through token pos+1); every other boundary is
     # length arithmetic over the single-space-joined sentence:
@@ -140,44 +125,7 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
     # discards them, so emitted values are identical (parity-tested
     # against generate_mentions_hof and oracle q53; noop-isolated A/B at
     # 40k pages: 1.4 -> 1.2 s steady).
-    n = F.size("toks")
-    df = df.select(
-        "url", *extra_cols, "itext", "ichunk", "sent_off", "sent",
-        F.posexplode(
-            F.arrays_zip(
-                F.col("toks").alias("t1"),
-                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
-                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("t3"),
-            )
-        ).alias("pos", "z"),
-    )
-
-    # call_function: the python substring_index wrapper only takes an int
-    # count, but the SQL function accepts a column count
-    b1 = F.length(
-        F.call_function(
-            "substring_index", F.col("sent"), F.lit(" "), F.col("pos") + 1
-        )
-    ).cast("long")
-    df = df.select(
-        "url", *extra_cols, "itext", "ichunk", "sent_off",
-        F.col("z.t1").alias("t1"),
-        F.col("z.t2").alias("t2"),
-        F.col("z.t3").alias("t3"),
-        b1.alias("b1"),
-    )
-    df = df.select(
-        "*",
-        (F.col("b1") - F.length("t1")).cast("long").alias("a"),
-        (F.col("b1") + F.length("t2") + 1).cast("long").alias("b2"),
-    )
-    df = df.select(
-        "*",
-        (F.col("b2") + F.length("t3") + 1).cast("long").alias("b3"),
-        norm_token_col(F.col("t1")).alias("n1"),
-        norm_token_col(F.col("t2")).alias("n2"),
-        norm_token_col(F.col("t3")).alias("n3"),
-    )
+    df = df.select(*c_b1).select(*c_ab2).select(*c_b3n)
 
     # per-token keep-predicate atoms, projected ONCE (round 6): the three
     # window structs previously inlined `(n_i != "")` and the 22-term
@@ -187,14 +135,92 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
     # plan that embeds the mention lineage, and the combining &/| below
     # uses the SAME operand subtrees so the three-valued-logic result is
     # unchanged (parity-tested).
-    df = df.select(
-        "*",
+    df = df.select(*c_nens)
+    df = df.select(*c_wexplode)
+    return df.select(*c_final)
+
+
+@session_cached
+def _mention_plan_cols(windows: tuple, extra_cols: tuple):
+    """The static Column lists of generate_mentions' select chain, built
+    once per (session, windows, extra_cols) — see the call site for the
+    per-stage semantics. Every expression is identical to the inline
+    round-6 form (oracle q53 + HOF-parity gated)."""
+    ec = list(extra_cols)
+    c_sents = [
+        F.col("url"),
+        *[F.col(c) for c in ec],
+        F.lit(0).cast("long").alias("itext"),
+        split_sentences(normalize_ws(F.col("text"))).alias("sents"),
+    ]
+    c_explode1 = [
+        F.col("url"),
+        *[F.col(c) for c in ec],
+        F.col("itext"),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("sents"),
+                F.slice(_starts(F.col("sents")), 1, F.size("sents")).alias("soff"),
+            )
+        ).alias("ichunk", "z"),
+    ]
+    c_post1 = [
+        F.col("url"),
+        *[F.col(c) for c in ec],
+        F.col("itext"),
+        F.col("ichunk").cast("long").alias("ichunk"),
+        F.col("z.sents").alias("sent"),
+        F.col("z.soff").alias("sent_off"),
+    ]
+    base = ["url", *ec, "itext", "ichunk", "sent_off"]
+    toks = F.split(F.col("sent"), " ")
+    c_toks = [*[F.col(c) for c in base], F.col("sent"), toks.alias("toks")]
+    n = F.size("toks")
+    c_explode2 = [
+        *[F.col(c) for c in base],
+        F.col("sent"),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("toks").alias("t1"),
+                F.slice("toks", 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+                F.slice("toks", 3, F.greatest(n - 2, F.lit(0))).alias("t3"),
+            )
+        ).alias("pos", "z"),
+    ]
+    # call_function: the python substring_index wrapper only takes an int
+    # count, but the SQL function accepts a column count
+    b1 = F.length(
+        F.call_function(
+            "substring_index", F.col("sent"), F.lit(" "), F.col("pos") + 1
+        )
+    ).cast("long")
+    c_b1 = [
+        *[F.col(c) for c in base],
+        F.col("z.t1").alias("t1"),
+        F.col("z.t2").alias("t2"),
+        F.col("z.t3").alias("t3"),
+        b1.alias("b1"),
+    ]
+    c_ab2 = [
+        F.col("*"),
+        (F.col("b1") - F.length("t1")).cast("long").alias("a"),
+        (F.col("b1") + F.length("t2") + 1).cast("long").alias("b2"),
+    ]
+    c_b3n = [
+        F.col("*"),
+        (F.col("b2") + F.length("t3") + 1).cast("long").alias("b3"),
+        norm_token_col(F.col("t1")).alias("n1"),
+        norm_token_col(F.col("t2")).alias("n2"),
+        norm_token_col(F.col("t3")).alias("n3"),
+    ]
+    c_nens = [
+        F.col("*"),
         *[(F.col(f"n{i}") != "").alias(f"ne{i}") for i in (1, 2, 3)],
         *[
             (~F.col(f"n{i}").isin(*sorted(STOPWORDS))).alias(f"ns{i}")
             for i in (1, 2, 3)
         ],
-    )
+    ]
 
     stype = "struct<wg:int,mention:string,key:string,b:bigint>"
 
@@ -224,22 +250,27 @@ def generate_mentions(pages: DataFrame, windows: tuple[int, ...] = (1, 2, 3),
         F.array(*[_w_struct(w) for w in windows]).cast(f"array<{stype}>"),
         lambda s: s.isNotNull(),
     )
-    df = df.select(
-        "url", *extra_cols, "itext", "ichunk", "sent_off", "a",
+    c_wexplode = [
+        *[F.col(c) for c in base],
+        F.col("a"),
         F.explode(wstructs).alias("m"),
-    )
-    return df.select(
-        "url",
-        *extra_cols,
-        "itext",
-        "ichunk",
+    ]
+    c_final = [
+        F.col("url"),
+        *[F.col(c) for c in ec],
+        F.col("itext"),
+        F.col("ichunk"),
         F.col("m.wg").alias("wg"),
         F.col("m.mention").alias("mention"),
         F.col("m.key").alias("key"),
-        "a",
+        F.col("a"),
         F.col("m.b").alias("b"),
         (F.col("sent_off") + F.col("a")).cast("long").alias("a_abs"),
         (F.col("sent_off") + F.col("m.b")).cast("long").alias("b_abs"),
+    ]
+    return (
+        c_sents, c_explode1, c_post1, c_toks, c_explode2,
+        c_b1, c_ab2, c_b3n, c_nens, c_wexplode, c_final,
     )
 
 

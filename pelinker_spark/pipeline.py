@@ -36,6 +36,7 @@ from .checkpoint import CheckpointManager
 from .extract import extract_text
 from .mentions import generate_mentions, kb_blocking_keys
 from .metrics import pairwise_prf
+from .exprcache import session_cached
 from .scoring import EMBED_DIM, cosine_col, make_encode_udf, make_gated_jw_udf
 
 
@@ -166,13 +167,18 @@ def prefilter_pairs(pairs: DataFrame) -> DataFrame:
     digit sequences must match exactly (record-linkage numeric-mismatch
     rule — "term123"≠"term124" however close the strings); (2) JW >= 0.95
     implies a length-difference bound of ~max/4."""
+    return pairs.where(_prefilter_pred())
+
+
+@session_cached
+def _prefilter_pred():
+    """prefilter_pairs' static predicate Column, built once per session
+    (py4j construction cost — exprcache)."""
     digits_a = F.concat_ws(",", F.regexp_extract_all(F.col("key_a"), F.lit(r"([0-9]+)"), 1))
     digits_b = F.concat_ws(",", F.regexp_extract_all(F.col("key_b"), F.lit(r"([0-9]+)"), 1))
     la, lb = F.length("key_a"), F.length("key_b")
     # cheap length predicate first — short-circuits the digit regexes
-    return pairs.where(
-        (F.abs(la - lb) * 4 <= F.greatest(la, lb)) & (digits_a == digits_b)
-    )
+    return (F.abs(la - lb) * 4 <= F.greatest(la, lb)) & (digits_a == digits_b)
 
 
 def score_pairs(pairs: DataFrame, cfg: LinkConfig,
@@ -243,14 +249,17 @@ def score_pairs(pairs: DataFrame, cfg: LinkConfig,
             emb.withColumnRenamed("key", "key_b").withColumnRenamed("emb", "emb_b"),
             "key_b",
         )
-        .withColumn(
-            "cos",
-            cosine_col(
-                F.col("emb_a"), F.col("emb_b"), dim=EMBED_DIM * k_sources
-            )
-            / F.lit(float(k_sources)),
-        )
+        .withColumn("cos", _pair_cos(EMBED_DIM * k_sources, k_sources))
         .drop("emb_a", "emb_b")
+    )
+
+
+@session_cached
+def _pair_cos(dim: int, k_sources: int):
+    """score_pairs' cosine Column (the dim-unrolled sum is ~160 py4j
+    calls to build), once per session — exprcache."""
+    return cosine_col(F.col("emb_a"), F.col("emb_b"), dim=dim) / F.lit(
+        float(k_sources)
     )
 
 
@@ -414,6 +423,22 @@ def link_pipeline(
         return prefilter_pairs(raw).dropDuplicates(["key_a", "key_b"])
 
     pairs = stage("pairs", build_pairs)
+    if not ckpt:
+        # third leaf barrier (round 6): the candidate-pair table is tiny
+        # (bounded by the blocking caps) and its dedup exchange is already
+        # a full materialization point, so checkpointing here loses no
+        # stage overlap — but it truncates the LSH/compact forest out of
+        # every scoring-side plan, and in particular out of the TWO
+        # persist() calls in score_pairs, each of which otherwise
+        # physical-plans the whole forest on the driver (measured ~1 s of
+        # pure driver time per link call at steady state).
+        pairs = pairs.localCheckpoint()
+        # the channel internals (bucketed, hit) are only consumed by the
+        # pair build; with pairs materialized they can be released now
+        # rather than after the edge wave
+        for df in registry:
+            df.unpersist()
+        registry.clear()
 
     def build_edges():
         scored = score_pairs(pairs, cfg, registry=registry)

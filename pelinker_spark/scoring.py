@@ -25,6 +25,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .exprcache import session_cached
+
 EMBED_DIM = 32
 
 
@@ -485,7 +487,16 @@ def make_gated_jw_udf(threshold: float):
     pair paid the gate twice and every survivor the exact kernel twice
     (verified in the q39/score_pairs plans). Marking it non-deterministic
     pins a single evaluation; the score itself is a pure function of
-    (a, b), so results are unchanged."""
+    (a, b), so results are unchanged.
+
+    Memoized per (session, threshold): constructing and registering the
+    pandas UDF is a py4j round trip re-paid per pipeline call otherwise
+    (exprcache)."""
+    return _make_gated_jw_udf_cached(float(threshold))
+
+
+@session_cached
+def _make_gated_jw_udf_cached(threshold: float):
     thr = float(threshold) - 1e-12
 
     @F.pandas_udf(T.DoubleType())
